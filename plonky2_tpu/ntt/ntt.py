@@ -1,0 +1,130 @@
+"""Radix-2 NTT / inverse NTT / coset LDE over Goldilocks.
+
+TPU-first formulation: every butterfly stage is one fully vectorized
+reshape + elementwise mul/add over the whole (batched) array, so an n-point
+transform is log2(n) fused VPU passes — no scalar loops, no dynamic shapes.
+Batched over leading axes ([num_polys, n] is the common layout).
+
+Conventions:
+* `ntt(coeffs)[..., i] = poly(w^i)` with w the primitive n-th root of unity,
+  indices in natural order.
+* `coset_lde(coeffs, rate_bits, shift)` evaluates on the coset
+  shift * <w_{n*2^rate}> in natural order — the evaluation-domain layout the
+  FRI folding step relies on (x_{i + N/2} = -x_i).
+
+Replaces the rayon-parallel CPU NTT inside the reference's external plonky2
+prover (SURVEY.md §2.2 "Prover/verifier"; the TPU hot path of BASELINE.json).
+The mesh-sharded four-step variant lives in `plonky2_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import gl
+
+# plonky2 evaluates LDEs on cosets shifted by the multiplicative group
+# generator g = 7 ("standard coset").
+COSET_SHIFT = gl.GENERATOR
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(log_n: int) -> jnp.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return jnp.asarray(rev)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(log_n: int, inverse: bool) -> tuple:
+    """Per-stage twiddle arrays: stage with half-size m gets [w_{2m}^k]_{k<m}."""
+    out = []
+    for s in range(1, log_n + 1):
+        m = 1 << (s - 1)
+        root = gl.primitive_root_of_unity(s)
+        if inverse:
+            root = gl.inv_s(root)
+        out.append(gl.powers(root, m))
+    return tuple(out)
+
+
+def ntt(coeffs, inverse: bool = False):
+    """[..., n] coefficient array -> evaluations (or inverse, unscaled)."""
+    n = coeffs.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n, f"NTT size must be a power of 2, got {n}"
+    if n == 1:
+        return coeffs
+    batch = coeffs.shape[:-1]
+    x = jnp.take(coeffs, _bitrev_perm(log_n), axis=-1)
+    tw = _stage_twiddles(log_n, inverse)
+    for s in range(1, log_n + 1):
+        m = 1 << (s - 1)
+        blocks = n >> s
+        x = x.reshape(*batch, blocks, 2, m)
+        even = x[..., 0, :]
+        odd = gl.mul(x[..., 1, :], tw[s - 1])
+        x = jnp.stack([gl.add(even, odd), gl.sub(even, odd)], axis=-2)
+        x = x.reshape(*batch, n)
+    return x
+
+
+def intt(evals):
+    """Inverse NTT: evaluations (natural order) -> coefficients."""
+    n = evals.shape[-1]
+    coeffs = ntt(evals, inverse=True)
+    n_inv = gl.U64(gl.inv_s(n))
+    return gl.mul(coeffs, jnp.broadcast_to(n_inv, coeffs.shape))
+
+
+def coset_lde(coeffs, rate_bits: int, shift: int = COSET_SHIFT):
+    """Evaluate deg<n polys on the coset shift*<w_N>, N = n << rate_bits.
+
+    [..., n] coeffs -> [..., N] values in natural order.
+    """
+    n = coeffs.shape[-1]
+    scaled = gl.mul(coeffs, gl.powers(shift, n))
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (n << rate_bits) - n)]
+    return ntt(jnp.pad(scaled, pad))
+
+
+def lde_from_values(values, rate_bits: int, shift: int = COSET_SHIFT):
+    """Values over H (natural order) -> (coeffs, LDE values over the coset)."""
+    coeffs = intt(values)
+    return coeffs, coset_lde(coeffs, rate_bits, shift)
+
+
+def eval_poly_ext_s(coeffs_host: list[int], point) -> tuple:
+    """Horner-evaluate a base-field coefficient list at an extension point.
+
+    Host/scalar path (verifier-size work)."""
+    from ..field import ext
+    acc = ext.ZERO
+    for c in reversed(coeffs_host):
+        acc = ext.add_s(ext.mul_s(acc, point), ext.from_base_s(c))
+    return acc
+
+
+def eval_polys_at_ext(coeffs, point):
+    """Batch-evaluate base-field polys [..., n] at one extension point.
+
+    Returns [..., 2].  Device path: one mul against the precomputed power
+    ladder of `point`, then a log-tree modular reduction.
+    """
+    from ..field import ext
+    n = coeffs.shape[-1]
+    pows = ext.powers_s(point, n)                      # [n, 2] host-computed
+    prod = ext.mul_base(pows, coeffs)                  # [..., n, 2]
+    # tree-reduce over axis -2
+    while prod.shape[-2] > 1:
+        half = prod.shape[-2] // 2
+        rest = prod[..., 2 * half:, :]
+        folded = gl.add(prod[..., :half * 2:2, :], prod[..., 1:half * 2:2, :])
+        prod = jnp.concatenate([folded, rest], axis=-2)
+    return prod[..., 0, :]
