@@ -1,1 +1,9 @@
-from .ntt import ntt, intt, coset_lde, lde_from_values, COSET_SHIFT  # noqa: F401
+from .ntt import (  # noqa: F401
+    COSET_SHIFT,
+    coset_lde,
+    eval_poly_ext_s,
+    eval_polys_at_ext,
+    intt,
+    lde_from_values,
+    ntt,
+)

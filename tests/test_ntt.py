@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from plonky2_tpu.field import ext, gl
-import plonky2_tpu.ntt.ntt as nttmod
+import plonky2_tpu.ntt as nttmod
 from plonky2_tpu.ntt import coset_lde, intt, lde_from_values, ntt
 
 RNG = random.Random(0xACE)
