@@ -31,14 +31,26 @@ from ..field import gl
 COSET_SHIFT = gl.GENERATOR
 
 
+# Cached tables are host numpy arrays (jit-safe constants): building jnp
+# arrays inside a traced call would leak tracers through the cache.
+
 @functools.lru_cache(maxsize=None)
-def _bitrev_perm(log_n: int) -> jnp.ndarray:
+def _bitrev_perm(log_n: int) -> np.ndarray:
     n = 1 << log_n
     idx = np.arange(n)
     rev = np.zeros(n, dtype=np.int64)
     for b in range(log_n):
         rev |= ((idx >> b) & 1) << (log_n - 1 - b)
-    return jnp.asarray(rev)
+    return rev
+
+
+def _host_powers(base: int, n: int) -> np.ndarray:
+    out = [1] * n
+    cur = 1
+    for i in range(1, n):
+        cur = (cur * base) % gl.P
+        out[i] = cur
+    return np.array(out, dtype=np.uint64)
 
 
 @functools.lru_cache(maxsize=None)
@@ -50,7 +62,7 @@ def _stage_twiddles(log_n: int, inverse: bool) -> tuple:
         root = gl.primitive_root_of_unity(s)
         if inverse:
             root = gl.inv_s(root)
-        out.append(gl.powers(root, m))
+        out.append(_host_powers(root, m))
     return tuple(out)
 
 
