@@ -1,0 +1,315 @@
+"""FRI low-degree commitment: prover (device) + verifier (host scalar).
+
+Implements the batched-opening FRI used by plonky2-class provers
+(SURVEY.md §2.2 "Prover/verifier", §3.2 steps 5-6):
+
+* commit phase: repeatedly Merkle-commit the current layer's values grouped
+  into folding cosets, draw beta, and fold by arity 2^a — on device the fold
+  is a batched size-a iNTT over every coset plus a Horner evaluation at
+  beta/x_j, all fully vectorized over the domain;
+* final polynomial in the clear + proof-of-work grind (the grind is a single
+  batched Poseidon evaluation over all candidate witnesses — TPU-friendly
+  brute force);
+* query phase: host-side Merkle openings of the initial oracles and every
+  commit-phase layer.
+
+Layout convention (conscious divergence from plonky2, which stores LDE
+values bit-reversed so folding cosets are contiguous): we keep *natural*
+domain order — index i holds shift * w^i — and the folding coset of row j at
+arity a is the strided set {j + k*(N/a)}.  Equivalent protocol, different
+index bookkeeping; revisit if bit-exact transcript parity with the Rust
+fork is ever wired up (see hashes/poseidon.py docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import ext, gl
+from ..hashes import poseidon
+from ..merkle import MerkleTree, verify_merkle_proof_s
+from ..ntt import host_powers, intt
+from ..transcript import Challenger
+
+
+@dataclass(frozen=True)
+class FriConfig:
+    rate_bits: int = 3
+    cap_height: int = 4
+    proof_of_work_bits: int = 16
+    num_query_rounds: int = 28
+    arity_bits: int = 4
+    final_poly_bits: int = 5
+
+    def reduction_arity_bits(self, degree_bits: int) -> list[int]:
+        out = []
+        d = degree_bits
+        while d > self.final_poly_bits:
+            a = min(self.arity_bits, d - self.final_poly_bits)
+            out.append(a)
+            d -= a
+        return out
+
+
+@dataclass
+class FriInitialOpening:
+    leaf_values: list  # list[int]
+    siblings: list     # list[list[int]]
+
+
+@dataclass
+class FriQueryStep:
+    evals: list        # list[(c0, c1)] — the arity coset values
+    siblings: list
+
+
+@dataclass
+class FriQueryRound:
+    initial: list      # list[FriInitialOpening], one per initial oracle
+    steps: list        # list[FriQueryStep]
+
+
+@dataclass
+class FriProof:
+    commit_caps: list  # list[list[4-elem digest]]
+    query_rounds: list
+    final_poly: list   # list[(c0, c1)] extension coefficients
+    pow_witness: int
+    query_indices: list = field(default_factory=list)  # derived; kept for debugging
+
+
+# ------------------------------------------------------------------
+# Device helpers
+# ------------------------------------------------------------------
+
+def _intt_ext(values):
+    """iNTT over the extension: componentwise base-field iNTT on axis -2.
+
+    values [..., n, 2] -> coeffs [..., n, 2]."""
+    comp = jnp.moveaxis(values, -1, 0)          # [2, ..., n]
+    return jnp.moveaxis(intt(comp), 0, -1)
+
+
+def _fold(values, beta, shift: int, arity_bits: int):
+    """One FRI fold by arity a = 2^arity_bits: [N, 2] ext values (natural
+    order, coset shift*<w_N>) -> [N/a, 2] values on shift^a * <w_{N/a}>.
+
+    Per-coset q_j = iNTT_a of the strided coset values, then Horner at
+    beta/x_j — both batched over all N/a cosets."""
+    N = values.shape[0]
+    a = 1 << arity_bits
+    rows = values.reshape(a, N // a, 2).transpose(1, 0, 2)      # [N/a, a, 2]
+    coeffs = _intt_ext(rows)                                    # q_j coeffs on <w_a>
+    # t_j = beta * x_j^{-1}; x_j = shift * w_N^j
+    w_inv = gl.inv_s(gl.primitive_root_of_unity(N.bit_length() - 1))
+    xinv = host_powers(w_inv, N // a) * np.uint64(1)            # w^-j
+    xinv = gl.mul(jnp.asarray(xinv), gl.U64(gl.inv_s(shift)))   # [N/a]
+    beta_arr = jnp.broadcast_to(gl.to_u64(list(beta)), (N // a, 2))
+    t = ext.mul_base(beta_arr, xinv)                            # [N/a, 2]
+    acc = coeffs[:, a - 1, :]
+    for k in range(a - 2, -1, -1):
+        acc = ext.add(ext.mul(acc, t), coeffs[:, k, :])
+    return acc
+
+
+# ------------------------------------------------------------------
+# Proof-of-work grind (device)
+# ------------------------------------------------------------------
+
+@jax.jit
+def _grind_kernel(base_state, cands, pos):
+    st = base_state.at[:, pos].set(cands)
+    return poseidon.permute(st)[:, poseidon.RATE - 1]
+
+
+def grind(challenger: Challenger, pow_bits: int, batch: int = 1 << 16,
+          max_batches: int = 128) -> int:
+    """Find w such that observe(w); get_challenge() has >= pow_bits leading
+    zero bits.  The duplex transition is closed-form (challenger.py), so all
+    candidates evaluate as one batched Poseidon permutation per chunk."""
+    buf = challenger.input_buffer
+    state = challenger.sponge_state
+    assert len(buf) < poseidon.RATE
+    threshold = 1 << (64 - pow_bits)
+    base_state = np.zeros((batch, poseidon.WIDTH), dtype=np.uint64)
+    base_state[:] = np.array(state, dtype=np.uint64)
+    if buf:
+        base_state[:, : len(buf)] = np.array(buf, dtype=np.uint64)
+    pos = len(buf)
+    base_dev = jnp.asarray(base_state)
+    for chunk in range(max_batches):
+        lo = chunk * batch
+        cands = jnp.asarray(np.arange(lo, lo + batch, dtype=np.uint64))
+        out = _grind_kernel(base_dev, cands, pos)
+        ok = np.asarray(out < gl.U64(threshold))
+        hits = np.nonzero(ok)[0]
+        if hits.size:
+            return int(lo + hits[0])
+    raise RuntimeError("PoW grind exhausted candidate space")
+
+
+# ------------------------------------------------------------------
+# Prover
+# ------------------------------------------------------------------
+
+def fri_prove(values, degree_bits: int, config: FriConfig,
+              challenger: Challenger, shift: int,
+              initial_trees: list[MerkleTree]) -> FriProof:
+    """values: [N, 2] ext composite over the LDE coset (natural order),
+    N = 2^(degree_bits + rate_bits).  initial_trees: the already-committed
+    oracles whose openings each query round must include."""
+    N = values.shape[0]
+    assert N == 1 << (degree_bits + config.rate_bits)
+
+    arities = config.reduction_arity_bits(degree_bits)
+    cur = values
+    cur_shift = shift
+    layer_trees: list[MerkleTree] = []
+    betas = []
+    for ab in arities:
+        a = 1 << ab
+        Nc = cur.shape[0]
+        leaves = cur.reshape(a, Nc // a, 2).transpose(1, 0, 2).reshape(Nc // a, 2 * a)
+        tree = MerkleTree.build(leaves, min(config.cap_height, (Nc // a).bit_length() - 1))
+        layer_trees.append(tree)
+        challenger.observe_cap(tree.cap_host())
+        beta = challenger.get_ext_challenge()
+        betas.append(beta)
+        cur = _fold(cur, beta, cur_shift, ab)
+        cur_shift = pow(cur_shift, a, gl.P)
+
+    # Final polynomial (coefficients in the clear).
+    Nf = cur.shape[0]
+    q_coeffs = _intt_ext(cur)                                   # coeffs of f(shift*y)
+    sinv_pows = jnp.asarray(host_powers(gl.inv_s(cur_shift), Nf))
+    f_coeffs = ext.mul_base(q_coeffs, sinv_pows)
+    final_len = 1 << (degree_bits - sum(arities))
+    fc_host = np.asarray(f_coeffs)
+    final_poly = [(int(fc_host[k, 0]), int(fc_host[k, 1])) for k in range(final_len)]
+    for c in final_poly:
+        challenger.observe_ext(c)
+
+    # Proof of work.
+    pow_witness = grind(challenger, config.proof_of_work_bits)
+    challenger.observe_element(pow_witness)
+    response = challenger.get_challenge()
+    assert response < (1 << (64 - config.proof_of_work_bits))
+
+    # Query rounds.
+    query_indices = [challenger.get_challenge() % N
+                     for _ in range(config.num_query_rounds)]
+    query_rounds = []
+    for idx in query_indices:
+        initial = []
+        for t in initial_trees:
+            lv, sib = t.open(idx)
+            initial.append(FriInitialOpening(lv, sib))
+        steps = []
+        cur_N, cur_i = N, idx
+        for ab, tree in zip(arities, layer_trees):
+            a = 1 << ab
+            rows = cur_N // a
+            j = cur_i % rows
+            lv, sib = tree.open(j)
+            evals = [(lv[2 * k], lv[2 * k + 1]) for k in range(a)]
+            steps.append(FriQueryStep(evals, sib))
+            cur_N, cur_i = rows, j
+        query_rounds.append(FriQueryRound(initial, steps))
+
+    return FriProof(
+        commit_caps=[t.cap_host() for t in layer_trees],
+        query_rounds=query_rounds,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+        query_indices=query_indices,
+    )
+
+
+# ------------------------------------------------------------------
+# Verifier (host scalar)
+# ------------------------------------------------------------------
+
+def _interpolate_coset_s(points, values, beta):
+    """Lagrange-interpolate {(points[k] base, values[k] ext)} and evaluate at
+    beta (ext).  O(a^2), verifier-sized."""
+    a = len(points)
+    acc = ext.ZERO
+    for k in range(a):
+        num = ext.ONE
+        den = 1
+        for m in range(a):
+            if m == k:
+                continue
+            num = ext.mul_s(num, ext.sub_s(beta, ext.from_base_s(points[m])))
+            den = gl.mul_s(den, gl.sub_s(points[k], points[m]))
+        term = ext.mul_s(values[k], ext.scalar_mul_s(num, gl.inv_s(den)))
+        acc = ext.add_s(acc, term)
+    return acc
+
+
+def fri_verify(proof: FriProof, degree_bits: int, config: FriConfig,
+               challenger: Challenger, shift: int,
+               initial_caps: list, combine_fn) -> None:
+    """Raises AssertionError on any failed check.
+
+    combine_fn(index, initial_leaf_values: list[list[int]]) -> ext tuple:
+    recomputes the composite value at domain index `index` from the opened
+    initial-oracle leaves (the plonk layer supplies the batched-opening
+    formula; the standalone test supplies identity)."""
+    N = 1 << (degree_bits + config.rate_bits)
+    arities = config.reduction_arity_bits(degree_bits)
+    assert len(proof.commit_caps) == len(arities)
+
+    betas = []
+    for cap in proof.commit_caps:
+        challenger.observe_cap(cap)
+        betas.append(challenger.get_ext_challenge())
+    final_len = 1 << (degree_bits - sum(arities))
+    assert len(proof.final_poly) == final_len
+    for c in proof.final_poly:
+        challenger.observe_ext(c)
+
+    challenger.observe_element(proof.pow_witness)
+    response = challenger.get_challenge()
+    assert response < (1 << (64 - config.proof_of_work_bits)), "PoW check failed"
+
+    query_indices = [challenger.get_challenge() % N
+                     for _ in range(config.num_query_rounds)]
+    assert len(proof.query_rounds) == len(query_indices)
+
+    for idx, qr in zip(query_indices, proof.query_rounds):
+        assert len(qr.initial) == len(initial_caps)
+        for opening, cap in zip(qr.initial, initial_caps):
+            assert verify_merkle_proof_s(opening.leaf_values, idx, cap,
+                                         opening.siblings), "initial Merkle proof"
+        old_eval = combine_fn(idx, [o.leaf_values for o in qr.initial])
+
+        cur_N, cur_i, cur_shift = N, idx, shift
+        for (ab, beta, step, cap) in zip(arities, betas, qr.steps, proof.commit_caps):
+            a = 1 << ab
+            rows = cur_N // a
+            j = cur_i % rows
+            k = cur_i // rows
+            assert step.evals[k] == tuple(old_eval), "fold consistency"
+            leaf = [x for e in step.evals for x in e]
+            assert verify_merkle_proof_s(leaf, j, cap, step.siblings), "layer Merkle proof"
+            # coset points: x_j * w_a^k, x_j = shift * w_N^j
+            w_N = gl.primitive_root_of_unity(cur_N.bit_length() - 1)
+            x_j = gl.mul_s(cur_shift, pow(w_N, j, gl.P))
+            w_a = gl.primitive_root_of_unity(ab)
+            pts = [gl.mul_s(x_j, pow(w_a, k2, gl.P)) for k2 in range(a)]
+            vals = [tuple(e) for e in step.evals]
+            old_eval = _interpolate_coset_s(pts, vals, beta)
+            cur_N, cur_i, cur_shift = rows, j, pow(cur_shift, a, gl.P)
+
+        # Final polynomial check at the surviving point.
+        w_f = gl.primitive_root_of_unity(cur_N.bit_length() - 1)
+        x = gl.mul_s(cur_shift, pow(w_f, cur_i, gl.P))
+        acc = ext.ZERO
+        for c in reversed(proof.final_poly):
+            acc = ext.add_s(ext.mul_s(acc, ext.from_base_s(x)), c)
+        assert tuple(acc) == tuple(old_eval), "final poly check"

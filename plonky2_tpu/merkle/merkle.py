@@ -1,0 +1,88 @@
+"""Cap-rooted Merkle commitments over Poseidon.
+
+Device-first: leaf hashing is one batched sponge over [L, num_cols] and each
+internal level is one batched two_to_one over [L/2^k, 2, 4] — layer-parallel,
+exactly the reduction the TPU VPU wants.  Proof extraction and verification
+are host-side scalar paths (verifier-sized work).
+
+Mirrors plonky2's MerkleTree/MerkleCap semantics consumed by the reference
+(Merkle caps in proofs, SURVEY.md §2.2): a tree is truncated at
+`cap_height`, the "root" is the vector of 2^cap_height digests, and a proof
+walks from a leaf up to the cap entry `index >> (depth - cap_height)`.
+
+Layout note: leaves are in *natural* domain order (a conscious divergence
+from plonky2's bit-reversed storage — see fri.py module docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import gl
+from ..hashes import poseidon
+
+
+@dataclass
+class MerkleTree:
+    """leaves: [L, C] u64 device array; levels[0] = leaf hashes [L, 4] ...
+    levels[-1] = cap [2^cap_height, 4]."""
+
+    leaves: jnp.ndarray
+    cap_height: int
+    levels: list = field(default_factory=list)
+    _host_levels: list | None = None
+    _host_leaves: np.ndarray | None = None
+
+    @staticmethod
+    def build(leaves, cap_height: int) -> "MerkleTree":
+        L = leaves.shape[0]
+        assert L & (L - 1) == 0, "leaf count must be a power of 2"
+        assert (1 << cap_height) <= L
+        levels = [poseidon.hash_or_noop(leaves)]
+        while levels[-1].shape[0] > (1 << cap_height):
+            cur = levels[-1].reshape(-1, 2, poseidon.HASH_OUT)
+            levels.append(poseidon.two_to_one(cur[:, 0, :], cur[:, 1, :]))
+        return MerkleTree(leaves=leaves, cap_height=cap_height, levels=levels)
+
+    @property
+    def cap(self):
+        """Device cap array [2^cap_height, 4]."""
+        return self.levels[-1]
+
+    def cap_host(self) -> list[list[int]]:
+        return [[int(x) for x in row] for row in np.asarray(self.cap)]
+
+    def _materialize(self):
+        if self._host_levels is None:
+            self._host_levels = [np.asarray(l) for l in self.levels]
+            self._host_leaves = np.asarray(self.leaves)
+
+    def open(self, index: int):
+        """-> (leaf_values: list[int], siblings: list[4-elem digests])."""
+        self._materialize()
+        leaf = [int(x) for x in self._host_leaves[index]]
+        siblings = []
+        idx = index
+        # levels[-1] is the cap: stop before it.
+        for lvl in self._host_levels[:-1]:
+            sib = [int(x) for x in lvl[idx ^ 1]]
+            siblings.append(sib)
+            idx >>= 1
+        return leaf, siblings
+
+
+def verify_merkle_proof_s(leaf_values: list[int], index: int, cap: list[list[int]],
+                          siblings: list[list[int]]) -> bool:
+    """Scalar verification: recompute the path and compare the cap entry."""
+    h = poseidon.hash_or_noop_s(leaf_values)
+    idx = index
+    for sib in siblings:
+        if idx & 1:
+            h = poseidon.two_to_one_s(sib, h)
+        else:
+            h = poseidon.two_to_one_s(h, sib)
+        idx >>= 1
+    return h == list(cap[idx])

@@ -1,4 +1,5 @@
 from .ntt import (  # noqa: F401
+    host_powers,
     COSET_SHIFT,
     coset_lde,
     eval_poly_ext_s,

@@ -44,7 +44,7 @@ def _bitrev_perm(log_n: int) -> np.ndarray:
     return rev
 
 
-def _host_powers(base: int, n: int) -> np.ndarray:
+def host_powers(base: int, n: int) -> np.ndarray:
     out = [1] * n
     cur = 1
     for i in range(1, n):
@@ -62,7 +62,7 @@ def _stage_twiddles(log_n: int, inverse: bool) -> tuple:
         root = gl.primitive_root_of_unity(s)
         if inverse:
             root = gl.inv_s(root)
-        out.append(_host_powers(root, m))
+        out.append(host_powers(root, m))
     return tuple(out)
 
 
