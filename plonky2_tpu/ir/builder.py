@@ -1,0 +1,244 @@
+"""CircuitBuilder: the universal gadget handle (plonky2's `CircuitBuilder`
+re-imagined array-first, SURVEY.md §7.1).
+
+Differences from the reference's object-graph design:
+* Targets are plain values — `int` for virtual targets, `Wire(row, col)`
+  for wire slots — tracked in one union-find; there is no per-target object.
+* `build()` lowers everything to arrays: selector/constant/sigma polynomial
+  matrices on device, plus host index tables for witness routing.  The
+  compiled circuit *is* a set of tensors (gate id per row, permutation index
+  arrays), which is what lets every prover phase be a batched device pass.
+
+Reference API parity (usage sites: /root/reference/src/ecdsa/gadgets/
+biguint.rs:37, nonnative.rs:32, u32/interleaved_u32.rs:19): add_virtual_*,
+connect, constant/zero/one, arithmetic ops with slot packing (find_slot),
+assert_*, public inputs, hash_n_to_hash_no_pad, add_simple_generator,
+num_gates, build.
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+
+from ..field import gl
+from ..gates import ArithmeticGate, ConstantGate, NoopGate, PoseidonGate, PublicInputGate
+from ..hashes import poseidon
+from ..witness import LambdaGenerator
+
+Wire = namedtuple("Wire", ["row", "column"])
+
+
+class CircuitBuilder:
+    def __init__(self, config):
+        self.config = config
+        self.gate_instances: list = []       # [(gate, constants: list[int])]
+        self.public_inputs: list = []
+        self.custom_generators: list = []    # gadget hint generators
+        self._num_virtual = 0
+        self._parent: dict = {}              # DSU
+        self._constant_cache: dict = {}
+        self._slots: dict = {}               # (gate_key, consts) -> (row, used)
+        self._const_slots: list = []         # open ConstantGate rows
+        self._built = False
+
+    # ---------------- targets & copy constraints ----------------
+
+    def add_virtual_target(self) -> int:
+        t = self._num_virtual
+        self._num_virtual += 1
+        return t
+
+    def add_virtual_targets(self, n: int) -> list[int]:
+        return [self.add_virtual_target() for _ in range(n)]
+
+    def _find(self, x):
+        p = self._parent
+        root = x
+        while root in p:
+            root = p[root]
+        while x in p and p[x] != root:
+            x, p[x] = p[x], root
+        return root
+
+    def connect(self, a, b):
+        if isinstance(a, Wire):
+            assert a.column < self.config.num_routed_wires, \
+                f"cannot route non-routed wire {a}"
+        if isinstance(b, Wire):
+            assert b.column < self.config.num_routed_wires, \
+                f"cannot route non-routed wire {b}"
+        ra, rb = self._find(a), self._find(b)
+        if ra != rb:
+            self._parent[ra] = rb
+
+    # ---------------- gate placement ----------------
+
+    def add_gate(self, gate, constants=()) -> int:
+        assert not self._built
+        assert gate.num_wires <= self.config.num_wires, \
+            f"{gate.key()} needs {gate.num_wires} wires > {self.config.num_wires}"
+        assert len(constants) <= self.config.num_constants or \
+            gate.num_constants <= max(self.config.num_constants, gate.num_constants)
+        row = len(self.gate_instances)
+        self.gate_instances.append((gate, list(constants)))
+        return row
+
+    def num_gates(self) -> int:
+        return len(self.gate_instances)
+
+    # ---------------- constants ----------------
+
+    def constant(self, c: int) -> int:
+        c = c % gl.P
+        if c in self._constant_cache:
+            return self._constant_cache[c]
+        for entry in self._const_slots:
+            if entry["used"] < entry["n"]:
+                row, slot = entry["row"], entry["used"]
+                entry["used"] += 1
+                self.gate_instances[row][1].append(c)
+                break
+        else:
+            g = ConstantGate(num_consts=self.config.num_constants)
+            row = self.add_gate(g, [])
+            self.gate_instances[row][1].append(c)
+            self._const_slots.append({"row": row, "n": g.num_consts, "used": 1})
+            slot = 0
+        t = self.add_virtual_target()
+        self.connect(t, Wire(row, slot))
+        self._constant_cache[c] = t
+        return t
+
+    def zero(self) -> int:
+        return self.constant(0)
+
+    def one(self) -> int:
+        return self.constant(1)
+
+    def two(self) -> int:
+        return self.constant(2)
+
+    def neg_one(self) -> int:
+        return self.constant(gl.P - 1)
+
+    # ---------------- arithmetic ops (slot-packed) ----------------
+
+    def arithmetic(self, c0: int, c1: int, m0, m1, addend) -> int:
+        """Returns target of c0*m0*m1 + c1*addend (one ArithmeticGate slot)."""
+        c0, c1 = c0 % gl.P, c1 % gl.P
+        gate = ArithmeticGate.from_config(self.config)
+        key = (gate.key(), c0, c1)
+        row, slot = self._claim_slot(key, gate, [c0, c1], gate.num_ops)
+        w0, w1, w2, w3 = ArithmeticGate.wires_op(slot)
+        self.connect(m0, Wire(row, w0))
+        self.connect(m1, Wire(row, w1))
+        self.connect(addend, Wire(row, w2))
+        out = self.add_virtual_target()
+        self.connect(out, Wire(row, w3))
+        return out
+
+    def _claim_slot(self, key, gate, constants, max_slots):
+        entry = self._slots.get(key)
+        if entry is None or entry[1] >= max_slots:
+            row = self.add_gate(gate, constants)
+            self._slots[key] = (row, 1)
+            return row, 0
+        row, used = entry
+        self._slots[key] = (row, used + 1)
+        return row, used
+
+    def add(self, a, b):
+        return self.arithmetic(1, 1, a, self.one(), b)
+
+    def sub(self, a, b):
+        return self.arithmetic(1, gl.P - 1, a, self.one(), b)
+
+    def mul(self, a, b):
+        return self.arithmetic(1, 0, a, b, self.zero())
+
+    def mul_const(self, c, a):
+        return self.arithmetic(c, 0, a, self.one(), self.zero())
+
+    def mul_add(self, a, b, c):
+        """a*b + c"""
+        return self.arithmetic(1, 1, a, b, c)
+
+    def add_const(self, a, c):
+        return self.arithmetic(1, c, a, self.one(), self.one())
+
+    def add_many(self, xs):
+        acc = self.zero()
+        for x in xs:
+            acc = self.add(acc, x)
+        return acc
+
+    def assert_zero(self, t):
+        self.connect(t, self.zero())
+
+    def assert_one(self, t):
+        self.connect(t, self.one())
+
+    def assert_bool(self, t):
+        # t*t == t forces t in {0, 1}
+        self.connect(self.mul(t, t), t)
+
+    # ---------------- public inputs ----------------
+
+    def register_public_input(self, t):
+        self.public_inputs.append(t)
+
+    def register_public_inputs(self, ts):
+        self.public_inputs.extend(ts)
+
+    # ---------------- hashing ----------------
+
+    def permute_swapped(self, inputs: list, swap) -> list:
+        """One PoseidonGate: 12 inputs + swap bool -> 12 outputs."""
+        from ..gates import poseidon_gate as pg
+        assert len(inputs) == poseidon.WIDTH
+        row = self.add_gate(PoseidonGate(), [])
+        for i, t in enumerate(inputs):
+            self.connect(t, Wire(row, pg.WIRE_INPUT + i))
+        self.connect(swap, Wire(row, pg.WIRE_SWAP))
+        outs = []
+        for i in range(poseidon.WIDTH):
+            t = self.add_virtual_target()
+            self.connect(t, Wire(row, pg.WIRE_OUTPUT + i))
+            outs.append(t)
+        return outs
+
+    def permute(self, inputs: list) -> list:
+        return self.permute_swapped(inputs, self.zero())
+
+    def hash_n_to_m_no_pad(self, inputs: list, num_outputs: int) -> list:
+        state = [self.zero()] * poseidon.WIDTH
+        for i in range(0, len(inputs), poseidon.RATE):
+            chunk = inputs[i:i + poseidon.RATE]
+            state = list(chunk) + state[len(chunk):]
+            state = self.permute(state)
+        outputs = []
+        while True:
+            outputs.extend(state[:poseidon.RATE])
+            if len(outputs) >= num_outputs:
+                return outputs[:num_outputs]
+            state = self.permute(state)
+
+    def hash_n_to_hash_no_pad(self, inputs: list) -> list:
+        return self.hash_n_to_m_no_pad(inputs, poseidon.HASH_OUT)
+
+    def two_to_one(self, x: list, y: list) -> list:
+        z = [self.zero()] * (poseidon.WIDTH - 2 * poseidon.HASH_OUT)
+        return self.permute(list(x) + list(y) + z)[:poseidon.HASH_OUT]
+
+    # ---------------- generators ----------------
+
+    def add_simple_generator(self, gen):
+        self.custom_generators.append(gen)
+
+    # ---------------- build ----------------
+
+    def build(self):
+        from ..prove.compile import compile_circuit
+        data = compile_circuit(self)   # placement of PI/padding happens inside
+        self._built = True
+        return data

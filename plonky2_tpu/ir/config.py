@@ -1,0 +1,46 @@
+"""Circuit configuration presets.
+
+Mirrors plonky2's `CircuitConfig` presets used by the reference
+(/root/reference/src/hash/keccak256.rs:219 standard_recursion_config,
+/root/reference/src/ecdsa/gadgets/nonnative.rs:865 standard_ecc_config,
+/root/reference/src/ecdsa/gadgets/ecdsa.rs:489 wide_ecc_config), folded into
+one dataclass per SURVEY.md §5 "Config / flag system".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..fri import FriConfig
+
+
+@dataclass(frozen=True)
+class CircuitConfig:
+    num_wires: int = 135
+    num_routed_wires: int = 80
+    num_constants: int = 2
+    num_challenges: int = 2
+    security_bits: int = 100
+    # max degree of a filtered constraint; quotient splits into this many
+    # degree-n chunks
+    max_quotient_degree_factor: int = 8
+    fri: FriConfig = field(default_factory=FriConfig)
+
+    @staticmethod
+    def standard_recursion_config() -> "CircuitConfig":
+        return CircuitConfig()
+
+    @staticmethod
+    def standard_ecc_config() -> "CircuitConfig":
+        return CircuitConfig(num_wires=136)
+
+    @staticmethod
+    def wide_ecc_config() -> "CircuitConfig":
+        return CircuitConfig(num_wires=234, num_routed_wires=80)
+
+    @staticmethod
+    def test_config() -> "CircuitConfig":
+        """Small FRI parameters for fast unit tests (CPU mesh)."""
+        return CircuitConfig(
+            fri=FriConfig(rate_bits=3, cap_height=2, proof_of_work_bits=8,
+                          num_query_rounds=12, arity_bits=2, final_poly_bits=2))
