@@ -23,11 +23,25 @@ Layout (see SURVEY.md §7.1):
     parallel/   mesh sharding of the prover phases
 """
 
+import os as _os
+
 import jax as _jax
 
 # The entire framework computes over 64-bit field elements; uint64 arrays
 # require x64 mode.  On TPU, u64 is emulated as u32 pairs by XLA (measured
 # ~2.5 G modmul/s/chip on v5e for the Goldilocks schoolbook mul).
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: per-circuit prover kernels are large
+# graphs; caching amortizes compile time across processes/test runs.
+_cache_dir = _os.environ.get(
+    "PLONKY2_TPU_JIT_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "plonky2_tpu_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is best-effort
+    pass
 
 __version__ = "0.1.0"

@@ -223,6 +223,18 @@ def powers(base: int, n: int) -> jnp.ndarray:
     return to_u64(out)
 
 
+def sum_mod(x, axis: int = 0):
+    """Modular sum along an axis via log-depth pairwise folding (jnp.sum
+    would overflow 64 bits)."""
+    x = jnp.moveaxis(x, axis, 0)
+    while x.shape[0] > 1:
+        half = x.shape[0] // 2
+        rest = x[2 * half:]
+        folded = add(x[0:2 * half:2], x[1:2 * half:2])
+        x = jnp.concatenate([folded, rest], axis=0) if rest.shape[0] else folded
+    return x[0]
+
+
 def batch_to_int(arr) -> list[int]:
     """Device array -> list of Python ints (host transfers; test/debug use)."""
     import numpy as np

@@ -23,6 +23,7 @@ fork is ever wired up (see hashes/poseidon.py docstring).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -94,7 +95,8 @@ def _intt_ext(values):
     return jnp.moveaxis(intt(comp), 0, -1)
 
 
-def _fold(values, beta, shift: int, arity_bits: int):
+@functools.partial(jax.jit, static_argnames=("shift", "arity_bits"))
+def _fold(values, beta_arr, shift: int, arity_bits: int):
     """One FRI fold by arity a = 2^arity_bits: [N, 2] ext values (natural
     order, coset shift*<w_N>) -> [N/a, 2] values on shift^a * <w_{N/a}>.
 
@@ -108,8 +110,8 @@ def _fold(values, beta, shift: int, arity_bits: int):
     w_inv = gl.inv_s(gl.primitive_root_of_unity(N.bit_length() - 1))
     xinv = host_powers(w_inv, N // a) * np.uint64(1)            # w^-j
     xinv = gl.mul(jnp.asarray(xinv), gl.U64(gl.inv_s(shift)))   # [N/a]
-    beta_arr = jnp.broadcast_to(gl.to_u64(list(beta)), (N // a, 2))
-    t = ext.mul_base(beta_arr, xinv)                            # [N/a, 2]
+    beta_b = jnp.broadcast_to(beta_arr, (N // a, 2))
+    t = ext.mul_base(beta_b, xinv)                              # [N/a, 2]
     acc = coeffs[:, a - 1, :]
     for k in range(a - 2, -1, -1):
         acc = ext.add(ext.mul(acc, t), coeffs[:, k, :])
@@ -179,7 +181,7 @@ def fri_prove(values, degree_bits: int, config: FriConfig,
         challenger.observe_cap(tree.cap_host())
         beta = challenger.get_ext_challenge()
         betas.append(beta)
-        cur = _fold(cur, beta, cur_shift, ab)
+        cur = _fold(cur, gl.to_u64(list(beta)), cur_shift, ab)
         cur_shift = pow(cur_shift, a, gl.P)
 
     # Final polynomial (coefficients in the clear).

@@ -32,9 +32,9 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from functools import reduce
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import gl
 
@@ -218,14 +218,40 @@ def hash_or_noop_s(inputs: list[int]) -> list[int]:
 # ------------------------------------------------------------------
 
 def hash_no_pad(inputs, num_outputs: int = HASH_OUT):
-    """Batched sponge: inputs [..., L] -> [..., num_outputs]."""
+    """Batched sponge: inputs [..., L] -> [..., num_outputs].
+
+    The absorb loop is a lax.scan over rate-sized chunks so the permutation
+    is traced once regardless of input length (keeps prover graphs small).
+    """
+    import jax
+
     L = inputs.shape[-1]
-    state = jnp.zeros((*inputs.shape[:-1], WIDTH), dtype=gl.DTYPE)
-    for i in range(0, L, RATE):
-        chunk = inputs[..., i:i + RATE]
-        c = chunk.shape[-1]
-        state = jnp.concatenate([chunk, state[..., c:]], axis=-1)
-        state = permute(state)
+    batch = inputs.shape[:-1]
+    n_chunks = -(-L // RATE)
+    pad = n_chunks * RATE - L
+    padded = jnp.concatenate(
+        [inputs, jnp.zeros((*batch, pad), dtype=gl.DTYPE)], axis=-1) if pad \
+        else inputs
+    # [n_chunks, ..., RATE] then widen to WIDTH with zeros for masking
+    chunks = jnp.moveaxis(padded.reshape(*batch, n_chunks, RATE), -2, 0)
+    chunks = jnp.concatenate(
+        [chunks, jnp.zeros((n_chunks, *batch, WIDTH - RATE), dtype=gl.DTYPE)],
+        axis=-1)
+    # mask[k][i]: lane i is overwritten by chunk k (only last chunk partial)
+    mask = np.zeros((n_chunks, WIDTH), dtype=bool)
+    for k in range(n_chunks):
+        c = min(RATE, L - k * RATE)
+        mask[k, :c] = True
+    mask = jnp.asarray(mask.reshape(n_chunks, *(1,) * len(batch), WIDTH))
+
+    state = jnp.zeros((*batch, WIDTH), dtype=gl.DTYPE)
+
+    def step(state, xs):
+        chunk, m = xs
+        state = jnp.where(m, chunk, state)
+        return permute(state), None
+
+    state, _ = jax.lax.scan(step, state, (chunks, mask))
     outs = [state[..., :RATE]]
     have = RATE
     while have < num_outputs:

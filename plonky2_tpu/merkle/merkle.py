@@ -16,13 +16,30 @@ from plonky2's bit-reversed storage — see fri.py module docstring).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..field import gl
 from ..hashes import poseidon
+
+
+# Per-shape jitted primitives: a tree of L leaves touches log2(L) distinct
+# level shapes; each compiles once (persistent cache) and the graphs stay
+# small (one permutation each) instead of one giant unrolled tree graph.
+_hash_leaves = jax.jit(poseidon.hash_or_noop)
+_compress = jax.jit(
+    lambda cur: poseidon.two_to_one(cur[:, 0, :], cur[:, 1, :]))
+
+
+def _merkle_levels(leaves, cap_height: int):
+    levels = [_hash_leaves(leaves)]
+    while levels[-1].shape[0] > (1 << cap_height):
+        levels.append(_compress(levels[-1].reshape(-1, 2, poseidon.HASH_OUT)))
+    return tuple(levels)
 
 
 @dataclass
@@ -41,10 +58,7 @@ class MerkleTree:
         L = leaves.shape[0]
         assert L & (L - 1) == 0, "leaf count must be a power of 2"
         assert (1 << cap_height) <= L
-        levels = [poseidon.hash_or_noop(leaves)]
-        while levels[-1].shape[0] > (1 << cap_height):
-            cur = levels[-1].reshape(-1, 2, poseidon.HASH_OUT)
-            levels.append(poseidon.two_to_one(cur[:, 0, :], cur[:, 1, :]))
+        levels = list(_merkle_levels(leaves, cap_height))
         return MerkleTree(leaves=leaves, cap_height=cap_height, levels=levels)
 
     @property

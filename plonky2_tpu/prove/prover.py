@@ -7,9 +7,17 @@ Phase -> placement:
 4. quotient on the 8n coset   device (vectorized per-gate constraints) HOT
 5. openings at zeta           device (power-ladder reductions)
 6. FRI commit/fold/PoW        device; query extraction host         HOT
+
+Every device phase is a jitted kernel with static shapes; the per-circuit
+kernels (quotient, composite — whose graphs depend on the gate set) are
+built once per CircuitData and cached on it.  Host<->device sync happens
+only at transcript points (a Merkle cap or opening values crossing into the
+Fiat-Shamir challenger), mirroring the hot-path analysis of SURVEY.md §3.2.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,9 +33,11 @@ from ..witness import generate_witness
 from .proof import OpeningSet, Proof
 
 
-# ------------------------------------------------------------------
-# helpers
-# ------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("rate_bits",))
+def _lde_commit(values, rate_bits: int):
+    coeffs = intt(values)
+    return coeffs, coset_lde(coeffs, rate_bits)
+
 
 def _prefix_product(r):
     """Exclusive modular prefix product along axis -1 (log-depth scan)."""
@@ -36,19 +46,190 @@ def _prefix_product(r):
     return jnp.concatenate([one, inclusive[..., :-1]], axis=-1)
 
 
-def _reduce_with_powers_base(terms, alpha: int):
-    """sum_t alpha^t * terms[t] for base-field [N] arrays, accumulated
-    without stacking (memory-lean)."""
-    acc = jnp.zeros_like(terms[0])
-    apow = 1
-    for t in terms:
-        acc = gl.add(acc, gl.mul(t, gl.U64(apow)))
-        apow = (apow * alpha) % gl.P
-    return acc
-
-
 def _ext_arr(c):
     return gl.to_u64(list(c))
+
+
+def _power_ladder_base(alpha, n: int):
+    """[1, alpha, ..., alpha^(n-1)] for a traced base scalar, via log-doubling
+    (log n traced ops instead of an n-long chain)."""
+    p = jnp.asarray(gl.to_u64([1]))
+    cur = alpha
+    m = 1
+    while m < n:
+        take = min(m, n - m)
+        p = jnp.concatenate([p, gl.mul(p[:take], cur)])
+        cur = gl.mul(cur, cur)
+        m *= 2
+    return p[:n]
+
+
+def _power_ladder_ext(alpha_a, n: int):
+    """[n, 2] powers of a traced extension scalar via log-doubling."""
+    p = jnp.asarray(gl.to_u64([[1, 0]]))
+    cur = alpha_a
+    m = 1
+    while m < n:
+        take = min(m, n - m)
+        stepped = ext.mul(p[:take], jnp.broadcast_to(cur, (take, 2)))
+        p = jnp.concatenate([p, stepped], axis=0)
+        c0 = gl.add(gl.mul(cur[0], cur[0]),
+                    gl.mul(gl.U64(ext.W), gl.mul(cur[1], cur[1])))
+        c1 = gl.add(gl.mul(cur[0], cur[1]), gl.mul(cur[1], cur[0]))
+        cur = jnp.stack([c0, c1])
+        m *= 2
+    return p[:n]
+
+
+# ------------------------------------------------------------------
+# per-circuit jitted kernels
+# ------------------------------------------------------------------
+
+def get_kernels(pd):
+    k = getattr(pd, "_kernels", None)
+    if k is None:
+        k = _make_kernels(pd.common)
+        pd._kernels = k
+    return k
+
+
+def _make_kernels(common):
+    cfg = common.config
+    fri_cfg = cfg.fri
+    n = 1 << common.degree_bits
+    rate = fri_cfg.rate_bits
+    N = n << rate
+    nc = cfg.num_challenges
+    nr = cfg.num_routed_wires
+    qf = cfg.max_quotient_degree_factor
+    K = common.num_partial_products + 1
+
+    def _chunk_products(num, den):
+        pad = K * qf - nr
+        if pad:
+            ones = jnp.ones((pad,) + num.shape[1:], dtype=gl.DTYPE)
+            num = jnp.concatenate([num, ones], axis=0)
+            den = jnp.concatenate([den, ones], axis=0)
+        cn = num.reshape(K, qf, *num.shape[1:])
+        cd = den.reshape(K, qf, *den.shape[1:])
+        pn, pdn = cn[:, 0], cd[:, 0]
+        for j in range(1, qf):
+            pn = gl.mul(pn, cn[:, j])
+            pdn = gl.mul(pdn, cd[:, j])
+        return pn, pdn
+
+    @jax.jit
+    def z_phase(routed, sigma, k_arr, g_pows, betas, gammas):
+        zs, pps = [], []
+        for c in range(nc):
+            beta, gamma = betas[c], gammas[c]
+            num = gl.add(gl.add(routed, gl.mul(gl.mul(beta, k_arr[:, None]),
+                                               g_pows[None, :])), gamma)
+            den = gl.add(gl.add(routed, gl.mul(beta, sigma)), gamma)
+            pn, pdn = _chunk_products(num, den)
+            ratio = gl.mul(pn, gl.inv(pdn))              # [K, n]
+            full = ratio[0]
+            for m in range(1, K):
+                full = gl.mul(full, ratio[m])
+            z = _prefix_product(full)
+            zs.append(z)
+            acc = z
+            for m in range(K - 1):
+                acc = gl.mul(acc, ratio[m])
+                pps.append(acc)
+        return jnp.stack(zs + pps, axis=0)
+
+    def _gate_terms(wires_lde, sel_lde, const_lde, pi_hash_arr):
+        from ..gates.base import BatchAlg, EvalVars
+        sel_info = common.selector_info
+        many = len(sel_info.groups) > 1
+        maxc = max((g.num_constraints for g in common.gates), default=0)
+        shape = wires_lde.shape[1:]
+        one = jnp.ones(shape, dtype=gl.DTYPE)
+        slots = [jnp.zeros(shape, dtype=gl.DTYPE) for _ in range(maxc)]
+        alg = BatchAlg(shape)
+        pi_arrs = [jnp.broadcast_to(pi_hash_arr[i], shape) for i in range(4)]
+        for gi, gate in enumerate(common.gates):
+            grp_idx = sel_info.gate_group[gi]
+            s = sel_lde[grp_idx]
+            filt = one
+            for other in sel_info.groups[grp_idx]:
+                if other != gi:
+                    filt = gl.mul(filt, gl.sub(jnp.full(shape, gl.U64(other)), s))
+            if many:
+                filt = gl.mul(filt, gl.sub(jnp.full(shape, gl.U64(sel_info.unused)), s))
+            if hasattr(gate, "eval_batch_fast"):
+                cs = list(gate.eval_batch_fast(wires_lde, const_lde, pi_arrs))
+            else:
+                vars_ = EvalVars([wires_lde[i] for i in range(gate.num_wires)],
+                                 [const_lde[i] for i in range(const_lde.shape[0])],
+                                 pi_arrs)
+                cs = gate.eval(vars_, alg)
+            for t_idx, cval in enumerate(cs):
+                slots[t_idx] = gl.add(slots[t_idx], gl.mul(filt, cval))
+        return slots
+
+    @jax.jit
+    def quotient_phase(wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde,
+                       x_lde, zh_inv, l1, k_arr, betas, gammas, alphas,
+                       pi_hash_arr, sinv_pows):
+        one = jnp.ones_like(x_lde)
+        terms = []
+        for c in range(nc):
+            beta, gamma = betas[c], gammas[c]
+            z = zs_pp_lde[c]
+            z_next = jnp.roll(z, -(1 << rate))
+            pps = [zs_pp_lde[nc + c * (K - 1) + m] for m in range(K - 1)]
+            terms.append(gl.mul(l1, gl.sub(z, one)))
+            accs = [z] + pps + [z_next]
+            num = gl.add(gl.add(wires_lde[:nr],
+                                gl.mul(gl.mul(beta, k_arr[:, None]),
+                                       x_lde[None, :])), gamma)
+            den = gl.add(gl.add(wires_lde[:nr], gl.mul(beta, sigma_lde)), gamma)
+            pn, pdn = _chunk_products(num, den)
+            for m in range(K):
+                terms.append(gl.sub(gl.mul(accs[m + 1], pdn[m]),
+                                    gl.mul(accs[m], pn[m])))
+        terms.extend(_gate_terms(wires_lde, sel_lde, const_lde, pi_hash_arr))
+
+        stacked = jnp.stack(terms, axis=0)            # [T, N]
+        T = stacked.shape[0]
+        q_polys = []
+        for c in range(nc):
+            apow_arr = _power_ladder_base(alphas[c], T)
+            acc = gl.sum_mod(gl.mul(stacked, apow_arr[:, None]), axis=0)
+            tq = gl.mul(acc, zh_inv)
+            q_coeffs = gl.mul(intt(tq), sinv_pows)
+            q_polys.append(q_coeffs.reshape(1 << rate, n))
+        q_polys = jnp.concatenate(q_polys, axis=0)
+        q_lde = coset_lde(q_polys, rate)
+        return q_polys, q_lde
+
+    @jax.jit
+    def composite(batch0_lde, zs_lde, fri_alpha_a, zeta_a, zeta_next_a,
+                  o0_a, o1_a, alpha_b0_a, x_lde):
+        # all *_a are traced (2,) u64 extension values
+        x_ext = ext.from_base(x_lde)
+
+        def reduce_alpha(polys):
+            # Sum_i alpha^i f_i(x): log-doubling alpha-power ladder, then the
+            # two extension components are weighted stacked muls + tree sums.
+            ap = _power_ladder_ext(fri_alpha_a, polys.shape[0])   # [B, 2]
+            r0c = gl.sum_mod(gl.mul(polys, ap[:, 0:1]), axis=0)
+            r1c = gl.sum_mod(gl.mul(polys, ap[:, 1:2]), axis=0)
+            return jnp.stack([r0c, r1c], axis=-1)      # [N, 2]
+
+        r0 = reduce_alpha(batch0_lde)
+        r1 = reduce_alpha(zs_lde)
+        inv0 = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_a, x_ext.shape)))
+        inv1 = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_next_a, x_ext.shape)))
+        f0 = ext.mul(ext.sub(r0, jnp.broadcast_to(o0_a, x_ext.shape)), inv0)
+        f1 = ext.mul(ext.sub(r1, jnp.broadcast_to(o1_a, x_ext.shape)), inv1)
+        f1 = ext.mul(f1, jnp.broadcast_to(alpha_b0_a, x_ext.shape))
+        return ext.add(f0, f1)
+
+    return {"z_phase": z_phase, "quotient_phase": quotient_phase,
+            "composite": composite}
 
 
 # ------------------------------------------------------------------
@@ -64,8 +245,7 @@ def prove(pd, inputs: dict) -> Proof:
     N = n << rate
     nc = cfg.num_challenges
     nr = cfg.num_routed_wires
-    K = common.num_partial_products + 1          # number of wire chunks
-    qf = cfg.max_quotient_degree_factor
+    kernels = get_kernels(pd)
 
     # ---- 1. witness ----
     store = generate_witness(pd, inputs)
@@ -80,9 +260,7 @@ def prove(pd, inputs: dict) -> Proof:
     pi_hash = poseidon.hash_no_pad_s(pi_values)
 
     # ---- 2. commit wires ----
-    wires_dev = jnp.asarray(wires_host)
-    wires_coeffs = intt(wires_dev)
-    wires_lde = coset_lde(wires_coeffs, rate)
+    wires_coeffs, wires_lde = _lde_commit(jnp.asarray(wires_host), rate)
     wires_tree = MerkleTree.build(wires_lde.T, fri_cfg.cap_height)
 
     ch = Challenger()
@@ -93,82 +271,39 @@ def prove(pd, inputs: dict) -> Proof:
     gammas = ch.get_n_challenges(nc)
 
     # ---- 3. Z polys + partial products over H ----
-    g_pows = jnp.asarray(host_powers(gl.primitive_root_of_unity(common.degree_bits), n))
-    k_arr = gl.to_u64(common.k_is)                       # [nr]
-    routed = wires_dev[:nr]                              # [nr, n]
-    zs_list, pps_list = [], []
-    for c in range(nc):
-        beta = gl.U64(betas[c])
-        gamma = gl.U64(gammas[c])
-        num = gl.add(gl.add(routed, gl.mul(gl.mul(beta, k_arr[:, None]),
-                                           g_pows[None, :])), gamma)
-        den = gl.add(gl.add(routed, gl.mul(beta, pd.sigma_polys)), gamma)
-        # chunk products (pad nr to K*qf with ones)
-        pad = K * qf - nr
-        if pad:
-            ones = jnp.ones((pad, n), dtype=gl.DTYPE)
-            num = jnp.concatenate([num, ones], axis=0)
-            den = jnp.concatenate([den, ones], axis=0)
-        cn = num.reshape(K, qf, n)
-        cd = den.reshape(K, qf, n)
-        chunk_num = cn[:, 0]
-        chunk_den = cd[:, 0]
-        for j in range(1, qf):
-            chunk_num = gl.mul(chunk_num, cn[:, j])
-            chunk_den = gl.mul(chunk_den, cd[:, j])
-        ratio = gl.mul(chunk_num, gl.inv(chunk_den))     # [K, n]
-        full = ratio[0]
-        for m in range(1, K):
-            full = gl.mul(full, ratio[m])
-        z = _prefix_product(full)                        # [n]
-        zs_list.append(z)
-        accs = z
-        pps_c = []
-        for m in range(K - 1):
-            accs = gl.mul(accs, ratio[m])
-            pps_c.append(accs)
-        pps_list.append(pps_c)
-
-    zs_pp_vals = jnp.stack(zs_list + [p for pps in pps_list for p in pps], axis=0)
-    zs_pp_coeffs = intt(zs_pp_vals)
-    zs_pp_lde = coset_lde(zs_pp_coeffs, rate)
+    g_pows = jnp.asarray(host_powers(
+        gl.primitive_root_of_unity(common.degree_bits), n))
+    k_arr = gl.to_u64(common.k_is)
+    zs_pp_vals = kernels["z_phase"](
+        jnp.asarray(wires_host[:nr]), pd.sigma_polys, k_arr, g_pows,
+        gl.to_u64(betas), gl.to_u64(gammas))
+    zs_pp_coeffs, zs_pp_lde = _lde_commit(zs_pp_vals, rate)
     zs_tree = MerkleTree.build(zs_pp_lde.T, fri_cfg.cap_height)
     ch.observe_cap(zs_tree.cap_host())
     alphas = ch.get_n_challenges(nc)
 
-    # ---- 4. quotient on the size-N coset ----
+    # ---- 4. quotient ----
     sel_count = len(common.selector_info.groups)
     sel_lde = pd.cs_lde[:sel_count]
     const_lde = pd.cs_lde[sel_count:sel_count + common.num_constants_polys]
     sigma_lde = pd.cs_lde[sel_count + common.num_constants_polys:]
 
-    x_lde = jnp.asarray(host_powers(gl.primitive_root_of_unity(
-        common.degree_bits + rate), N))
-    x_lde = gl.mul(x_lde, gl.U64(COSET_SHIFT))           # domain points
-
-    # Z_H(x) = x^n - 1 has period 2^rate on the coset
+    x_lde = gl.mul(jnp.asarray(host_powers(
+        gl.primitive_root_of_unity(common.degree_bits + rate), N)),
+        gl.U64(COSET_SHIFT))
     shift_n = pow(COSET_SHIFT, n, gl.P)
     w8 = gl.primitive_root_of_unity(rate)
     zh_vals = [(shift_n * pow(w8, j, gl.P) - 1) % gl.P for j in range(1 << rate)]
     zh = jnp.tile(gl.to_u64(zh_vals), N >> rate)
     zh_inv = gl.inv(zh)
-    l1_denom = gl.mul(gl.sub(x_lde, jnp.ones_like(x_lde)),
-                      jnp.full_like(x_lde, gl.U64(n)))
-    l1 = gl.mul(zh, gl.inv(l1_denom))
-
-    terms = _vanishing_terms(
-        common, wires_lde, sel_lde, const_lde, sigma_lde,
-        zs_pp_lde, x_lde, l1, betas, gammas, pi_hash, rate, n)
-
-    quotient_chunks = []
+    l1 = gl.mul(zh, gl.inv(gl.mul(gl.sub(x_lde, jnp.ones_like(x_lde)),
+                                  jnp.full_like(x_lde, gl.U64(n)))))
     sinv_pows = jnp.asarray(host_powers(gl.inv_s(COSET_SHIFT), N))
-    for c in range(nc):
-        vanishing = _reduce_with_powers_base(terms, alphas[c])
-        tq = gl.mul(vanishing, zh_inv)                   # [N]
-        q_coeffs = gl.mul(intt(tq), sinv_pows)           # unshift the coset
-        quotient_chunks.append(q_coeffs.reshape(1 << rate, n))
-    q_polys = jnp.concatenate(quotient_chunks, axis=0)   # [nc*2^rate, n]
-    q_lde = coset_lde(q_polys, rate)
+
+    q_polys, q_lde = kernels["quotient_phase"](
+        wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde, x_lde, zh_inv,
+        l1, k_arr, gl.to_u64(betas), gl.to_u64(gammas), gl.to_u64(alphas),
+        gl.to_u64(pi_hash), sinv_pows)
     q_tree = MerkleTree.build(q_lde.T, fri_cfg.cap_height)
     ch.observe_cap(q_tree.cap_host())
     zeta = ch.get_ext_challenge()
@@ -192,12 +327,21 @@ def prove(pd, inputs: dict) -> Proof:
         ch.observe_ext(e)
     fri_alpha = ch.get_ext_challenge()
 
-    # ---- 6. FRI on the batched-opening composite ----
+    # ---- 6. FRI ----
     batch0_lde = jnp.concatenate([pd.cs_lde, wires_lde, zs_pp_lde, q_lde], axis=0)
     batch0_open = cs_open + wires_open + zs_pp_open + q_open
     B0 = len(batch0_open)
-    composite = _composite(batch0_lde, batch0_open, zs_pp_lde[:nc],
-                           zs_next_open, fri_alpha, zeta, zeta_next, x_lde)
+    o0 = ext.ZERO
+    for v in reversed(batch0_open):
+        o0 = ext.add_s(ext.mul_s(o0, fri_alpha), v)
+    o1 = ext.ZERO
+    for v in reversed(zs_next_open):
+        o1 = ext.add_s(ext.mul_s(o1, fri_alpha), v)
+    alpha_b0 = ext.pow_s(fri_alpha, B0)
+    composite = kernels["composite"](
+        batch0_lde, zs_pp_lde[:nc], _ext_arr(fri_alpha), _ext_arr(zeta),
+        _ext_arr(zeta_next), _ext_arr(o0), _ext_arr(o1), _ext_arr(alpha_b0),
+        x_lde)
     fri = fri_prove(composite, common.degree_bits, fri_cfg, ch, COSET_SHIFT,
                     [pd.cs_tree, wires_tree, zs_tree, q_tree])
 
@@ -209,109 +353,3 @@ def prove(pd, inputs: dict) -> Proof:
         fri=fri,
         public_inputs=pi_values,
     )
-
-
-# ------------------------------------------------------------------
-# vanishing terms (base-field batch over the LDE domain)
-# ------------------------------------------------------------------
-
-def _vanishing_terms(common, wires_lde, sel_lde, const_lde, sigma_lde,
-                     zs_pp_lde, x_lde, l1, betas, gammas, pi_hash, rate, n):
-    from ..gates.base import BatchAlg, EvalVars
-    cfg = common.config
-    nc = cfg.num_challenges
-    nr = cfg.num_routed_wires
-    qf = cfg.max_quotient_degree_factor
-    K = common.num_partial_products + 1
-    N = x_lde.shape[0]
-    one = jnp.ones_like(x_lde)
-    terms = []
-
-    k_arr = gl.to_u64(common.k_is)
-    for c in range(nc):
-        beta = gl.U64(betas[c])
-        gamma = gl.U64(gammas[c])
-        z = zs_pp_lde[c]
-        z_next = jnp.roll(z, -(1 << rate))
-        pps = [zs_pp_lde[nc + c * (K - 1) + m] for m in range(K - 1)]
-        terms.append(gl.mul(l1, gl.sub(z, one)))
-        accs = [z] + pps + [z_next]
-        num = gl.add(gl.add(wires_lde[:nr], gl.mul(gl.mul(beta, k_arr[:, None]),
-                                                   x_lde[None, :])), gamma)
-        den = gl.add(gl.add(wires_lde[:nr], gl.mul(beta, sigma_lde)), gamma)
-        pad = K * qf - nr
-        if pad:
-            ones = jnp.ones((pad, N), dtype=gl.DTYPE)
-            num = jnp.concatenate([num, ones], axis=0)
-            den = jnp.concatenate([den, ones], axis=0)
-        cn = num.reshape(K, qf, N)
-        cd = den.reshape(K, qf, N)
-        for m in range(K):
-            pn = cn[m, 0]
-            pdn = cd[m, 0]
-            for j in range(1, qf):
-                pn = gl.mul(pn, cn[m, j])
-                pdn = gl.mul(pdn, cd[m, j])
-            terms.append(gl.sub(gl.mul(accs[m + 1], pdn), gl.mul(accs[m], pn)))
-
-    # ---- gate constraints, filtered & slot-summed ----
-    sel_info = common.selector_info
-    many = len(sel_info.groups) > 1
-    max_constraints = max((g.num_constraints for g in common.gates), default=0)
-    slots = [jnp.zeros_like(x_lde) for _ in range(max_constraints)]
-    alg = BatchAlg(x_lde.shape)
-    pi_hash_arrs = [jnp.broadcast_to(gl.U64(h), x_lde.shape) for h in pi_hash]
-    for gi, gate in enumerate(common.gates):
-        grp_idx = sel_info.gate_group[gi]
-        s = sel_lde[grp_idx]
-        filt = one
-        for other in sel_info.groups[grp_idx]:
-            if other != gi:
-                filt = gl.mul(filt, gl.sub(jnp.full_like(s, gl.U64(other)), s))
-        if many:
-            filt = gl.mul(filt, gl.sub(jnp.full_like(s, gl.U64(sel_info.unused)), s))
-        if hasattr(gate, "eval_batch_fast"):
-            cs = list(gate.eval_batch_fast(wires_lde, const_lde, pi_hash_arrs))
-        else:
-            vars_ = EvalVars([wires_lde[i] for i in range(gate.num_wires)],
-                             [const_lde[i] for i in range(const_lde.shape[0])],
-                             pi_hash_arrs)
-            cs = gate.eval(vars_, alg)
-        for t_idx, cval in enumerate(cs):
-            slots[t_idx] = gl.add(slots[t_idx], gl.mul(filt, cval))
-    terms.extend(slots)
-    return terms
-
-
-# ------------------------------------------------------------------
-# FRI composite (device)
-# ------------------------------------------------------------------
-
-def _composite(batch0_lde, batch0_open, zs_lde, zs_next_open,
-               fri_alpha, zeta, zeta_next, x_lde):
-    B0 = batch0_lde.shape[0]
-    x_ext = ext.from_base(x_lde)                               # [N, 2]
-
-    def reduce_batch(polys_lde, openings):
-        # Horner in alpha over the polys (memory-lean: never materializes the
-        # [B, N, 2] product tensor), mirrored on the host opening values.
-        B = polys_lde.shape[0]
-        acc = ext.from_base(polys_lde[B - 1])
-        alpha_arr = jnp.broadcast_to(_ext_arr(fri_alpha), acc.shape)
-        for i in range(B - 2, -1, -1):
-            acc = ext.add(ext.mul(acc, alpha_arr), ext.from_base(polys_lde[i]))
-        o = ext.ZERO
-        for v in reversed(openings):
-            o = ext.add_s(ext.mul_s(o, fri_alpha), v)
-        return acc, o
-
-    r0, o0 = reduce_batch(batch0_lde, batch0_open)
-    r1, o1 = reduce_batch(zs_lde, zs_next_open)
-
-    inv0 = ext.inv(ext.sub(x_ext, jnp.broadcast_to(_ext_arr(zeta), x_ext.shape)))
-    inv1 = ext.inv(ext.sub(x_ext, jnp.broadcast_to(_ext_arr(zeta_next), x_ext.shape)))
-    f0 = ext.mul(ext.sub(r0, jnp.broadcast_to(_ext_arr(o0), x_ext.shape)), inv0)
-    f1 = ext.mul(ext.sub(r1, jnp.broadcast_to(_ext_arr(o1), x_ext.shape)), inv1)
-    alpha_b0 = ext.pow_s(fri_alpha, B0)
-    f1 = ext.mul(f1, jnp.broadcast_to(_ext_arr(alpha_b0), x_ext.shape))
-    return ext.add(f0, f1)
