@@ -1,0 +1,184 @@
+"""U32ArithmeticGate and U32AddManyGate: packed 32-bit ops with inline
+base-4 range decomposition.
+
+TPU-native equivalents of plonky2_u32's U32ArithmeticGate / U32AddManyGate
+(reference whitelist /root/reference/src/ecdsa/gadgets/ecdsa.rs:91-95;
+consumed by every biguint/nonnative gadget).  Layout is original: each op
+carries its own lo/hi range limbs so one row proves `x*y + z = lo + hi*2^32`
+with both halves range-checked.
+"""
+
+from __future__ import annotations
+
+from ..field import gl
+from ..witness import LambdaGenerator
+from .base import Gate
+
+_LIMBS = 16          # base-4 limbs per u32
+_BASE = 4
+
+
+def _range_constraints(alg, wires, start, count):
+    out = []
+    for i in range(count):
+        limb = wires[start + i]
+        prod = limb
+        for v in range(1, _BASE):
+            prod = alg.mul(prod, alg.add_const(limb, gl.P - v))
+        out.append(prod)
+    return out
+
+
+def _recompose(alg, wires, start, count):
+    acc = alg.zero
+    for i in range(count - 1, -1, -1):
+        acc = alg.add(alg.mul_const(_BASE, acc), wires[start + i])
+    return acc
+
+
+class U32ArithmeticGate(Gate):
+    """num_ops slots of: x*y + z -> (lo, hi) as u32 halves.
+
+    Per-op wires: x, y, z, lo, hi, 16 lo-limbs, 16 hi-limbs  (37 total).
+    """
+
+    OP_WIRES = 5 + 2 * _LIMBS
+
+    def __init__(self, num_ops: int):
+        self.num_ops = num_ops
+
+    @staticmethod
+    def from_config(config) -> "U32ArithmeticGate":
+        return U32ArithmeticGate(max(1, config.num_routed_wires // U32ArithmeticGate.OP_WIRES))
+
+    def key(self) -> str:
+        return f"U32Arithmetic(num_ops={self.num_ops})"
+
+    @property
+    def num_wires(self):
+        return self.OP_WIRES * self.num_ops
+
+    @property
+    def degree(self):
+        return _BASE
+
+    @property
+    def num_constraints(self):
+        return self.num_ops * (3 + 2 * _LIMBS)
+
+    def wires_op(self, i: int):
+        b = self.OP_WIRES * i
+        return dict(x=b, y=b + 1, z=b + 2, lo=b + 3, hi=b + 4,
+                    lo_limbs=b + 5, hi_limbs=b + 5 + _LIMBS)
+
+    def eval(self, vars, alg):
+        w = vars.local_wires
+        out = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            x, y, z = w[ws["x"]], w[ws["y"]], w[ws["z"]]
+            lo, hi = w[ws["lo"]], w[ws["hi"]]
+            combined = alg.add(lo, alg.mul_const(1 << 32, hi))
+            out.append(alg.sub(alg.add(alg.mul(x, y), z), combined))
+            out.append(alg.sub(_recompose(alg, w, ws["lo_limbs"], _LIMBS), lo))
+            out.append(alg.sub(_recompose(alg, w, ws["hi_limbs"], _LIMBS), hi))
+            out.extend(_range_constraints(alg, w, ws["lo_limbs"], _LIMBS))
+            out.extend(_range_constraints(alg, w, ws["hi_limbs"], _LIMBS))
+        return out
+
+    def generators(self, row, constants):
+        from ..ir.builder import Wire
+        gens = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+
+            def fn(vals, row=row, ws=ws):
+                x, y, z = vals
+                r = (x * y + z)
+                lo, hi = r & 0xFFFFFFFF, r >> 32
+                out = [(Wire(row, ws["lo"]), lo), (Wire(row, ws["hi"]), hi)]
+                for j in range(_LIMBS):
+                    out.append((Wire(row, ws["lo_limbs"] + j), (lo >> (2 * j)) & 3))
+                    out.append((Wire(row, ws["hi_limbs"] + j), (hi >> (2 * j)) & 3))
+                return out
+
+            gens.append(LambdaGenerator(
+                [Wire(row, ws["x"]), Wire(row, ws["y"]), Wire(row, ws["z"])],
+                fn,
+                outs=[Wire(row, ws["lo"]), Wire(row, ws["hi"])] +
+                     [Wire(row, ws["lo_limbs"] + j) for j in range(_LIMBS)] +
+                     [Wire(row, ws["hi_limbs"] + j) for j in range(_LIMBS)]))
+        return gens
+
+
+class U32AddManyGate(Gate):
+    """sum of num_addends u32 values + carry_in -> (lo u32, hi small).
+
+    Per-op wires: addends[n], carry_in, lo, hi, 16 lo-limbs, 2 hi-limbs.
+    Requires n + carry_in's max < 16 so hi fits 2 base-4 limbs.
+    """
+
+    def __init__(self, num_addends: int):
+        assert 2 <= num_addends <= 14
+        self.num_addends = num_addends
+
+    def key(self) -> str:
+        return f"U32AddMany(num_addends={self.num_addends})"
+
+    @property
+    def op_wires(self):
+        return self.num_addends + 3 + _LIMBS + 2
+
+    @property
+    def num_wires(self):
+        return self.op_wires
+
+    @property
+    def degree(self):
+        return _BASE
+
+    @property
+    def num_constraints(self):
+        return 3 + _LIMBS + 2
+
+    def wires(self):
+        n = self.num_addends
+        return dict(addends=0, carry_in=n, lo=n + 1, hi=n + 2,
+                    lo_limbs=n + 3, hi_limbs=n + 3 + _LIMBS)
+
+    def eval(self, vars, alg):
+        w = vars.local_wires
+        ws = self.wires()
+        out = []
+        acc = w[ws["carry_in"]]
+        for i in range(self.num_addends):
+            acc = alg.add(acc, w[ws["addends"] + i])
+        lo, hi = w[ws["lo"]], w[ws["hi"]]
+        out.append(alg.sub(acc, alg.add(lo, alg.mul_const(1 << 32, hi))))
+        out.append(alg.sub(_recompose(alg, w, ws["lo_limbs"], _LIMBS), lo))
+        out.append(alg.sub(_recompose(alg, w, ws["hi_limbs"], 2), hi))
+        out.extend(_range_constraints(alg, w, ws["lo_limbs"], _LIMBS))
+        out.extend(_range_constraints(alg, w, ws["hi_limbs"], 2))
+        return out
+
+    def generators(self, row, constants):
+        from ..ir.builder import Wire
+        ws = self.wires()
+        n = self.num_addends
+
+        def fn(vals, row=row, ws=ws):
+            s = sum(vals)
+            lo, hi = s & 0xFFFFFFFF, s >> 32
+            out = [(Wire(row, ws["lo"]), lo), (Wire(row, ws["hi"]), hi)]
+            for j in range(_LIMBS):
+                out.append((Wire(row, ws["lo_limbs"] + j), (lo >> (2 * j)) & 3))
+            for j in range(2):
+                out.append((Wire(row, ws["hi_limbs"] + j), (hi >> (2 * j)) & 3))
+            return out
+
+        deps = [Wire(row, ws["addends"] + i) for i in range(n)] + \
+               [Wire(row, ws["carry_in"])]
+        outs = [Wire(row, ws["lo"]), Wire(row, ws["hi"])] + \
+               [Wire(row, ws["lo_limbs"] + j) for j in range(_LIMBS)] + \
+               [Wire(row, ws["hi_limbs"] + j) for j in range(2)]
+        return [LambdaGenerator(deps, fn, outs=outs)]

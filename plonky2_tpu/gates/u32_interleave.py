@@ -1,0 +1,197 @@
+"""Interleave / uninterleave gates: the XOR-via-addition representation.
+
+TPU-native re-design of the reference's three custom gates
+(/root/reference/src/u32/gates/interleave_u32.rs:84-228,
+uninterleave_to_u32.rs:24-77, uninterleave_to_b32.rs:28-36):
+
+* `U32InterleaveGate`: x (u32) -> x_interleaved with bit i moved to bit 2i.
+  Adding two interleaved values then computes XOR in the even bit positions
+  and AND in the odd ones, with no bit-blast per op.
+* `UninterleaveToU32Gate`: decompose a "dirty" sum of two interleaved
+  values into 64 bits; x_evens := packed even bits = XOR, x_odds := packed
+  odd bits = AND (carry bits), both returned as plain u32.
+* `UninterleaveToB32Gate`: same decomposition but the outputs stay in
+  interleaved (B32) form so chained XORs can keep adding
+  (`unsafe_xor_many_u32` — the soundness caveat of interleaved sums
+  exceeding the field order carries over verbatim, see
+  /root/reference/src/u32/interleaved_u32.rs:132-144).
+
+Unlike the reference, gate serialization is NOT todo!(): these gates carry
+their parameters in `key()` like every other gate here (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from ..field import gl
+from ..witness import LambdaGenerator
+from .base import Gate
+
+
+def _bool_constraint(alg, b):
+    return alg.mul(b, alg.add_const(b, gl.P - 1))
+
+
+class U32InterleaveGate(Gate):
+    """Per-op wires: x, x_interleaved, 32 bits (34)."""
+
+    OP_WIRES = 34
+
+    def __init__(self, num_ops: int):
+        self.num_ops = num_ops
+
+    @staticmethod
+    def from_config(config):
+        return U32InterleaveGate(max(1, config.num_routed_wires // U32InterleaveGate.OP_WIRES))
+
+    def key(self):
+        return f"U32Interleave(num_ops={self.num_ops})"
+
+    @property
+    def num_wires(self):
+        return self.OP_WIRES * self.num_ops
+
+    @property
+    def degree(self):
+        return 2
+
+    @property
+    def num_constraints(self):
+        return self.num_ops * 34
+
+    def wires_op(self, i):
+        b = self.OP_WIRES * i
+        return dict(x=b, x_il=b + 1, bits=b + 2)
+
+    def eval(self, vars, alg):
+        w = vars.local_wires
+        out = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            bits = [w[ws["bits"] + j] for j in range(32)]
+            acc2 = alg.zero
+            acc4 = alg.zero
+            for j in range(31, -1, -1):
+                acc2 = alg.add(alg.mul_const(2, acc2), bits[j])
+                acc4 = alg.add(alg.mul_const(4, acc4), bits[j])
+            out.append(alg.sub(acc2, w[ws["x"]]))
+            out.append(alg.sub(acc4, w[ws["x_il"]]))
+            out.extend(_bool_constraint(alg, b) for b in bits)
+        return out
+
+    def generators(self, row, constants):
+        from ..ir.builder import Wire
+        gens = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+
+            def fn(vals, row=row, ws=ws):
+                x = vals[0]
+                out = []
+                il = 0
+                for j in range(32):
+                    b = (x >> j) & 1
+                    il |= b << (2 * j)
+                    out.append((Wire(row, ws["bits"] + j), b))
+                out.append((Wire(row, ws["x_il"]), il))
+                return out
+
+            gens.append(LambdaGenerator(
+                [Wire(row, ws["x"])], fn,
+                outs=[Wire(row, ws["x_il"])] +
+                     [Wire(row, ws["bits"] + j) for j in range(32)]))
+        return gens
+
+
+class _UninterleaveBase(Gate):
+    """Shared: input (dirty 64-bit value) + 64 bit wires + 2 packed outputs.
+
+    Per-op wires: x_dirty, out_evens, out_odds, 64 bits (67)."""
+
+    OP_WIRES = 67
+    # subclass sets the packing base for outputs: 2 (u32) or 4 (B32)
+    PACK_BASE = None
+    NAME = None
+
+    def __init__(self, num_ops: int):
+        self.num_ops = num_ops
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(max(1, config.num_routed_wires // cls.OP_WIRES))
+
+    def key(self):
+        return f"{self.NAME}(num_ops={self.num_ops})"
+
+    @property
+    def num_wires(self):
+        return self.OP_WIRES * self.num_ops
+
+    @property
+    def degree(self):
+        return 2
+
+    @property
+    def num_constraints(self):
+        return self.num_ops * 67
+
+    def wires_op(self, i):
+        b = self.OP_WIRES * i
+        return dict(x=b, evens=b + 1, odds=b + 2, bits=b + 3)
+
+    def eval(self, vars, alg):
+        w = vars.local_wires
+        B = self.PACK_BASE
+        out = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            bits = [w[ws["bits"] + j] for j in range(64)]
+            acc2 = alg.zero
+            for j in range(63, -1, -1):
+                acc2 = alg.add(alg.mul_const(2, acc2), bits[j])
+            out.append(alg.sub(acc2, w[ws["x"]]))
+            acc_e = alg.zero
+            acc_o = alg.zero
+            for j in range(31, -1, -1):
+                acc_e = alg.add(alg.mul_const(B, acc_e), bits[2 * j])
+                acc_o = alg.add(alg.mul_const(B, acc_o), bits[2 * j + 1])
+            out.append(alg.sub(acc_e, w[ws["evens"]]))
+            out.append(alg.sub(acc_o, w[ws["odds"]]))
+            out.extend(_bool_constraint(alg, b) for b in bits)
+        return out
+
+    def generators(self, row, constants):
+        from ..ir.builder import Wire
+        B = self.PACK_BASE
+        gens = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+
+            def fn(vals, row=row, ws=ws):
+                x = vals[0]
+                out = []
+                ev = od = 0
+                for j in range(64):
+                    b = (x >> j) & 1
+                    out.append((Wire(row, ws["bits"] + j), b))
+                for j in range(32):
+                    ev += ((x >> (2 * j)) & 1) * (B ** j)
+                    od += ((x >> (2 * j + 1)) & 1) * (B ** j)
+                out.append((Wire(row, ws["evens"]), ev))
+                out.append((Wire(row, ws["odds"]), od))
+                return out
+
+            gens.append(LambdaGenerator(
+                [Wire(row, ws["x"])], fn,
+                outs=[Wire(row, ws["evens"]), Wire(row, ws["odds"])] +
+                     [Wire(row, ws["bits"] + j) for j in range(64)]))
+        return gens
+
+
+class UninterleaveToU32Gate(_UninterleaveBase):
+    PACK_BASE = 2
+    NAME = "UninterleaveToU32"
+
+
+class UninterleaveToB32Gate(_UninterleaveBase):
+    PACK_BASE = 4
+    NAME = "UninterleaveToB32"

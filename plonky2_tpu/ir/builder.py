@@ -182,6 +182,45 @@ class CircuitBuilder:
         # t*t == t forces t in {0, 1}
         self.connect(self.mul(t, t), t)
 
+    def select(self, b, x, y):
+        """b ? x : y   (b must be boolean)."""
+        return self.mul_add(b, self.sub(x, y), y)
+
+    def not_(self, b):
+        return self.sub(self.one(), b)
+
+    def and_(self, a, b):
+        return self.mul(a, b)
+
+    def or_(self, a, b):
+        # a + b - a*b
+        return self.sub(self.add(a, b), self.mul(a, b))
+
+    # ---------------- decomposition ----------------
+
+    def split_le(self, x, num_bits: int) -> list:
+        """Little-endian bit decomposition (bits are range-constrained)."""
+        return self.split_le_base(2, x, num_bits)
+
+    def split_le_base(self, base: int, x, num_limbs: int) -> list:
+        from ..gates.base_sum import BaseSumGate
+        gate = BaseSumGate(base, num_limbs)
+        row = self.add_gate(gate, [])
+        self.connect(x, Wire(row, gate.WIRE_SUM))
+        limbs = []
+        for i in range(num_limbs):
+            t = self.add_virtual_target()
+            self.connect(t, Wire(row, gate.wire_limb(i)))
+            limbs.append(t)
+        return limbs
+
+    def le_sum(self, bits: list):
+        """Recombine little-endian bits into a target (pure arithmetic)."""
+        acc = self.zero()
+        for b in reversed(bits):
+            acc = self.mul_add(self.two(), acc, b)
+        return acc
+
     # ---------------- public inputs ----------------
 
     def register_public_input(self, t):
