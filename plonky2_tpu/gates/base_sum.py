@@ -58,6 +58,24 @@ class BaseSumGate(Gate):
             out.append(prod)
         return out
 
+    def eval_batch_fast(self, wires, constants, pi_hash):
+        import jax.numpy as jnp
+        import numpy as np
+        L, B = self.num_limbs, self.base
+        s = wires[self.WIRE_SUM]
+        limbs = wires[jnp.asarray([self.wire_limb(i) for i in range(L)])]
+        w = np.array([pow(B, i, gl.P) for i in range(L)], dtype=np.uint64)
+        out = [gl.sub(gl.sum_mod(gl.mul(limbs, jnp.asarray(w)[:, None]),
+                                 axis=0), s)]
+        prod = limbs
+        one = jnp.ones_like(limbs)
+        cur = limbs
+        for v in range(1, B):
+            shift = jnp.full_like(limbs, gl.U64(v))
+            cur = gl.mul(cur, gl.sub(limbs, shift))
+        out.extend(cur)
+        return out
+
     def generators(self, row, constants):
         from ..ir.builder import Wire
         base, L = self.base, self.num_limbs

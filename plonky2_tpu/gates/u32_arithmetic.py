@@ -10,12 +10,30 @@ with both halves range-checked.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+import numpy as np
+
 from ..field import gl
 from ..witness import LambdaGenerator
 from .base import Gate
 
 _LIMBS = 16          # base-4 limbs per u32
 _BASE = 4
+
+_W4 = np.array([1 << (2 * i) for i in range(_LIMBS)], dtype=np.uint64)
+
+
+def _range_fast(limbs):
+    """limbs [..., N] -> product limb*(limb-1)*(limb-2)*(limb-3)."""
+    one = jnp.ones_like(limbs)
+    p = gl.mul(limbs, gl.sub(limbs, one))
+    p = gl.mul(p, gl.sub(limbs, gl.add(one, one)))
+    return gl.mul(p, gl.sub(limbs, gl.add(gl.add(one, one), one)))
+
+
+def _recompose_fast(limbs):
+    """limbs [k, 16, N] -> [k, N] base-4 recomposition."""
+    return gl.sum_mod(gl.mul(limbs, jnp.asarray(_W4)[None, :, None]), axis=1)
 
 
 def _range_constraints(alg, wires, start, count):
@@ -84,6 +102,30 @@ class U32ArithmeticGate(Gate):
             out.append(alg.sub(_recompose(alg, w, ws["hi_limbs"], _LIMBS), hi))
             out.extend(_range_constraints(alg, w, ws["lo_limbs"], _LIMBS))
             out.extend(_range_constraints(alg, w, ws["hi_limbs"], _LIMBS))
+        return out
+
+    def eval_batch_fast(self, wires, constants, pi_hash):
+        idx = [self.wires_op(i) for i in range(self.num_ops)]
+        g = lambda k: wires[jnp.asarray([w[k] for w in idx])]     # [ops, N]
+        x, y, z = g("x"), g("y"), g("z")
+        lo, hi = g("lo"), g("hi")
+        lo_limbs = wires[jnp.asarray(
+            [[w["lo_limbs"] + j for j in range(_LIMBS)] for w in idx])]
+        hi_limbs = wires[jnp.asarray(
+            [[w["hi_limbs"] + j for j in range(_LIMBS)] for w in idx])]
+        main = gl.sub(gl.add(gl.mul(x, y), z),
+                      gl.add(lo, gl.mul(hi, jnp.full_like(hi, gl.U64(1 << 32)))))
+        rlo = gl.sub(_recompose_fast(lo_limbs), lo)
+        rhi = gl.sub(_recompose_fast(hi_limbs), hi)
+        rnlo = _range_fast(lo_limbs)
+        rnhi = _range_fast(hi_limbs)
+        out = []
+        for i in range(self.num_ops):
+            out.append(main[i])
+            out.append(rlo[i])
+            out.append(rhi[i])
+            out.extend(rnlo[i])
+            out.extend(rnhi[i])
         return out
 
     def generators(self, row, constants):
@@ -159,6 +201,24 @@ class U32AddManyGate(Gate):
         out.append(alg.sub(_recompose(alg, w, ws["hi_limbs"], 2), hi))
         out.extend(_range_constraints(alg, w, ws["lo_limbs"], _LIMBS))
         out.extend(_range_constraints(alg, w, ws["hi_limbs"], 2))
+        return out
+
+    def eval_batch_fast(self, wires, constants, pi_hash):
+        ws = self.wires()
+        n = self.num_addends
+        addends = wires[jnp.asarray([ws["addends"] + i for i in range(n)])]
+        cin = wires[ws["carry_in"]]
+        lo, hi = wires[ws["lo"]], wires[ws["hi"]]
+        lo_limbs = wires[jnp.asarray([ws["lo_limbs"] + j for j in range(_LIMBS)])]
+        hi_limbs = wires[jnp.asarray([ws["hi_limbs"] + j for j in range(2)])]
+        total = gl.add(gl.sum_mod(addends, axis=0), cin)
+        out = [gl.sub(total, gl.add(lo, gl.mul(
+            hi, jnp.full_like(hi, gl.U64(1 << 32)))))]
+        out.append(gl.sub(_recompose_fast(lo_limbs[None])[0], lo))
+        w2 = jnp.asarray(_W4[:2])
+        out.append(gl.sub(gl.sum_mod(gl.mul(hi_limbs, w2[:, None]), axis=0), hi))
+        out.extend(_range_fast(lo_limbs))
+        out.extend(_range_fast(hi_limbs))
         return out
 
     def generators(self, row, constants):

@@ -22,6 +22,9 @@ their parameters in `key()` like every other gate here (SURVEY.md §7.5).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+import numpy as np
+
 from ..field import gl
 from ..witness import LambdaGenerator
 from .base import Gate
@@ -29,6 +32,15 @@ from .base import Gate
 
 def _bool_constraint(alg, b):
     return alg.mul(b, alg.add_const(b, gl.P - 1))
+
+
+def _bool_fast(bits):
+    return gl.mul(bits, gl.sub(bits, jnp.ones_like(bits)))
+
+
+def _wsum(bits, weights):
+    """bits [k, L, N] x weights [L] -> [k, N]."""
+    return gl.sum_mod(gl.mul(bits, jnp.asarray(weights)[None, :, None]), axis=1)
 
 
 class U32InterleaveGate(Gate):
@@ -76,6 +88,24 @@ class U32InterleaveGate(Gate):
             out.append(alg.sub(acc2, w[ws["x"]]))
             out.append(alg.sub(acc4, w[ws["x_il"]]))
             out.extend(_bool_constraint(alg, b) for b in bits)
+        return out
+
+    def eval_batch_fast(self, wires, constants, pi_hash):
+        idx = [self.wires_op(i) for i in range(self.num_ops)]
+        x = wires[jnp.asarray([w["x"] for w in idx])]
+        x_il = wires[jnp.asarray([w["x_il"] for w in idx])]
+        bits = wires[jnp.asarray(
+            [[w["bits"] + j for j in range(32)] for w in idx])]   # [ops,32,N]
+        w2 = np.array([1 << i for i in range(32)], dtype=np.uint64)
+        w4 = np.array([(1 << (2 * i)) % gl.P for i in range(32)], dtype=np.uint64)
+        r2 = gl.sub(_wsum(bits, w2), x)
+        r4 = gl.sub(_wsum(bits, w4), x_il)
+        rb = _bool_fast(bits)
+        out = []
+        for i in range(self.num_ops):
+            out.append(r2[i])
+            out.append(r4[i])
+            out.extend(rb[i])
         return out
 
     def generators(self, row, constants):
@@ -157,6 +187,28 @@ class _UninterleaveBase(Gate):
             out.append(alg.sub(acc_e, w[ws["evens"]]))
             out.append(alg.sub(acc_o, w[ws["odds"]]))
             out.extend(_bool_constraint(alg, b) for b in bits)
+        return out
+
+    def eval_batch_fast(self, wires, constants, pi_hash):
+        B = self.PACK_BASE
+        idx = [self.wires_op(i) for i in range(self.num_ops)]
+        x = wires[jnp.asarray([w["x"] for w in idx])]
+        evens = wires[jnp.asarray([w["evens"] for w in idx])]
+        odds = wires[jnp.asarray([w["odds"] for w in idx])]
+        bits = wires[jnp.asarray(
+            [[w["bits"] + j for j in range(64)] for w in idx])]   # [ops,64,N]
+        w2 = np.array([(1 << i) % gl.P for i in range(64)], dtype=np.uint64)
+        r2 = gl.sub(_wsum(bits, w2), x)
+        wB = np.array([pow(B, i, gl.P) for i in range(32)], dtype=np.uint64)
+        re = gl.sub(_wsum(bits[:, 0::2, :], wB), evens)
+        ro = gl.sub(_wsum(bits[:, 1::2, :], wB), odds)
+        rb = _bool_fast(bits)
+        out = []
+        for i in range(self.num_ops):
+            out.append(r2[i])
+            out.append(re[i])
+            out.append(ro[i])
+            out.extend(rb[i])
         return out
 
     def generators(self, row, constants):
