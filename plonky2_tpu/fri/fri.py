@@ -128,11 +128,14 @@ def _grind_kernel(base_state, cands, pos):
     return poseidon.permute(st)[:, poseidon.RATE - 1]
 
 
-def grind(challenger: Challenger, pow_bits: int, batch: int = 1 << 16,
-          max_batches: int = 128) -> int:
+def grind(challenger: Challenger, pow_bits: int, batch: int | None = None,
+          max_batches: int = 4096) -> int:
     """Find w such that observe(w); get_challenge() has >= pow_bits leading
     zero bits.  The duplex transition is closed-form (challenger.py), so all
     candidates evaluate as one batched Poseidon permutation per chunk."""
+    if batch is None:
+        # ~16x the expected number of attempts, floor for vectorization
+        batch = max(1 << 12, 16 << pow_bits)
     buf = challenger.input_buffer
     state = challenger.sponge_state
     assert len(buf) < poseidon.RATE

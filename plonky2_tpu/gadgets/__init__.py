@@ -3,3 +3,4 @@
 # CircuitBuilderB32 at /root/reference/src/u32/interleaved_u32.rs:19).
 from . import u32  # noqa: F401
 from . import biguint  # noqa: F401
+from . import nonnative  # noqa: F401

@@ -66,8 +66,13 @@ class MerkleTree:
         """Device cap array [2^cap_height, 4]."""
         return self.levels[-1]
 
+    _cap_host_cache: list | None = None
+
     def cap_host(self) -> list[list[int]]:
-        return [[int(x) for x in row] for row in np.asarray(self.cap)]
+        if self._cap_host_cache is None:
+            self._cap_host_cache = [[int(x) for x in row]
+                                    for row in np.asarray(self.cap)]
+        return self._cap_host_cache
 
     def _materialize(self):
         if self._host_levels is None:
