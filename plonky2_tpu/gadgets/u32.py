@@ -49,7 +49,10 @@ def add_virtual_u32_target_unsafe(self) -> U32Target:
 
 
 def range_check_u32(self, t) -> None:
-    self.split_le_base(4, t, 16)
+    from ..gates.u32_arithmetic import U32RangeCheckGate
+    gate = U32RangeCheckGate.from_config(self.config)
+    row, slot = self._claim_slot((gate.key(),), gate, [], gate.num_ops)
+    self.connect(t, Wire(row, gate.wires_op(slot)["x"]))
 
 
 def constant_u32(self, c: int) -> U32Target:
@@ -111,9 +114,9 @@ def add_u32s_with_carry(self, addends: list, carry_in: U32Target):
     cin = carry_in
     while xs:
         chunk, xs = xs[:13], xs[13:]
-        gate = U32AddManyGate(len(chunk))
-        row = self.add_gate(gate, [])
-        ws = gate.wires()
+        gate = U32AddManyGate.from_config(self.config, len(chunk))
+        row, slot = self._claim_slot((gate.key(),), gate, [], gate.num_ops)
+        ws = gate.wires_op(slot)
         for i, a in enumerate(chunk):
             self.connect(a.target, Wire(row, ws["addends"] + i))
         self.connect(cin.target, Wire(row, ws["carry_in"]))

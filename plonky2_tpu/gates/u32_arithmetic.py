@@ -57,24 +57,31 @@ def _recompose(alg, wires, start, count):
 class U32ArithmeticGate(Gate):
     """num_ops slots of: x*y + z -> (lo, hi) as u32 halves.
 
-    Per-op wires: x, y, z, lo, hi, 16 lo-limbs, 16 hi-limbs  (37 total).
+    Wire layout: routed io block first (5 wires per op: x, y, z, lo, hi),
+    then the aux range-decomposition limbs (32 per op) — aux wires may live
+    past num_routed_wires, so a 135-wire config packs 3 ops/row and
+    wide_ecc_config (234 wires) packs 6, like plonky2_u32.
     """
 
-    OP_WIRES = 5 + 2 * _LIMBS
+    IO_WIRES = 5
+    AUX_WIRES = 2 * _LIMBS
 
     def __init__(self, num_ops: int):
         self.num_ops = num_ops
 
     @staticmethod
     def from_config(config) -> "U32ArithmeticGate":
-        return U32ArithmeticGate(max(1, config.num_routed_wires // U32ArithmeticGate.OP_WIRES))
+        per_op = U32ArithmeticGate.IO_WIRES + U32ArithmeticGate.AUX_WIRES
+        return U32ArithmeticGate(max(1, min(
+            config.num_wires // per_op,
+            config.num_routed_wires // U32ArithmeticGate.IO_WIRES)))
 
     def key(self) -> str:
         return f"U32Arithmetic(num_ops={self.num_ops})"
 
     @property
     def num_wires(self):
-        return self.OP_WIRES * self.num_ops
+        return (self.IO_WIRES + self.AUX_WIRES) * self.num_ops
 
     @property
     def degree(self):
@@ -85,9 +92,10 @@ class U32ArithmeticGate(Gate):
         return self.num_ops * (3 + 2 * _LIMBS)
 
     def wires_op(self, i: int):
-        b = self.OP_WIRES * i
+        b = self.IO_WIRES * i
+        aux = self.IO_WIRES * self.num_ops + self.AUX_WIRES * i
         return dict(x=b, y=b + 1, z=b + 2, lo=b + 3, hi=b + 4,
-                    lo_limbs=b + 5, hi_limbs=b + 5 + _LIMBS)
+                    lo_limbs=aux, hi_limbs=aux + _LIMBS)
 
     def eval(self, vars, alg):
         w = vars.local_wires
@@ -154,26 +162,37 @@ class U32ArithmeticGate(Gate):
 
 
 class U32AddManyGate(Gate):
-    """sum of num_addends u32 values + carry_in -> (lo u32, hi small).
+    """num_ops slots of: sum(addends) + carry_in -> (lo u32, hi small).
 
-    Per-op wires: addends[n], carry_in, lo, hi, 16 lo-limbs, 2 hi-limbs.
-    Requires n + carry_in's max < 16 so hi fits 2 base-4 limbs.
+    Per-op: routed io (addends[n], carry_in, lo, hi) then aux limbs
+    (16 lo + 2 hi) which may live past num_routed_wires.  Requires
+    n + max carry_in < 16 so hi fits 2 base-4 limbs.
     """
 
-    def __init__(self, num_addends: int):
+    AUX_WIRES = _LIMBS + 2
+
+    def __init__(self, num_addends: int, num_ops: int = 1):
         assert 2 <= num_addends <= 14
         self.num_addends = num_addends
+        self.num_ops = num_ops
+
+    @staticmethod
+    def from_config(config, num_addends: int) -> "U32AddManyGate":
+        io = num_addends + 3
+        per_op = io + U32AddManyGate.AUX_WIRES
+        return U32AddManyGate(num_addends, max(1, min(
+            config.num_wires // per_op, config.num_routed_wires // io)))
 
     def key(self) -> str:
-        return f"U32AddMany(num_addends={self.num_addends})"
+        return f"U32AddMany(num_addends={self.num_addends},num_ops={self.num_ops})"
 
     @property
-    def op_wires(self):
-        return self.num_addends + 3 + _LIMBS + 2
+    def io_wires(self):
+        return self.num_addends + 3
 
     @property
     def num_wires(self):
-        return self.op_wires
+        return (self.io_wires + self.AUX_WIRES) * self.num_ops
 
     @property
     def degree(self):
@@ -181,64 +200,147 @@ class U32AddManyGate(Gate):
 
     @property
     def num_constraints(self):
-        return 3 + _LIMBS + 2
+        return self.num_ops * (3 + _LIMBS + 2)
 
-    def wires(self):
+    def wires_op(self, i: int):
         n = self.num_addends
-        return dict(addends=0, carry_in=n, lo=n + 1, hi=n + 2,
-                    lo_limbs=n + 3, hi_limbs=n + 3 + _LIMBS)
+        b = self.io_wires * i
+        aux = self.io_wires * self.num_ops + self.AUX_WIRES * i
+        return dict(addends=b, carry_in=b + n, lo=b + n + 1, hi=b + n + 2,
+                    lo_limbs=aux, hi_limbs=aux + _LIMBS)
 
     def eval(self, vars, alg):
         w = vars.local_wires
-        ws = self.wires()
         out = []
-        acc = w[ws["carry_in"]]
-        for i in range(self.num_addends):
-            acc = alg.add(acc, w[ws["addends"] + i])
-        lo, hi = w[ws["lo"]], w[ws["hi"]]
-        out.append(alg.sub(acc, alg.add(lo, alg.mul_const(1 << 32, hi))))
-        out.append(alg.sub(_recompose(alg, w, ws["lo_limbs"], _LIMBS), lo))
-        out.append(alg.sub(_recompose(alg, w, ws["hi_limbs"], 2), hi))
-        out.extend(_range_constraints(alg, w, ws["lo_limbs"], _LIMBS))
-        out.extend(_range_constraints(alg, w, ws["hi_limbs"], 2))
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            acc = w[ws["carry_in"]]
+            for j in range(self.num_addends):
+                acc = alg.add(acc, w[ws["addends"] + j])
+            lo, hi = w[ws["lo"]], w[ws["hi"]]
+            out.append(alg.sub(acc, alg.add(lo, alg.mul_const(1 << 32, hi))))
+            out.append(alg.sub(_recompose(alg, w, ws["lo_limbs"], _LIMBS), lo))
+            out.append(alg.sub(_recompose(alg, w, ws["hi_limbs"], 2), hi))
+            out.extend(_range_constraints(alg, w, ws["lo_limbs"], _LIMBS))
+            out.extend(_range_constraints(alg, w, ws["hi_limbs"], 2))
         return out
 
     def eval_batch_fast(self, wires, constants, pi_hash):
-        ws = self.wires()
         n = self.num_addends
-        addends = wires[jnp.asarray([ws["addends"] + i for i in range(n)])]
-        cin = wires[ws["carry_in"]]
-        lo, hi = wires[ws["lo"]], wires[ws["hi"]]
-        lo_limbs = wires[jnp.asarray([ws["lo_limbs"] + j for j in range(_LIMBS)])]
-        hi_limbs = wires[jnp.asarray([ws["hi_limbs"] + j for j in range(2)])]
-        total = gl.add(gl.sum_mod(addends, axis=0), cin)
-        out = [gl.sub(total, gl.add(lo, gl.mul(
-            hi, jnp.full_like(hi, gl.U64(1 << 32)))))]
-        out.append(gl.sub(_recompose_fast(lo_limbs[None])[0], lo))
-        w2 = jnp.asarray(_W4[:2])
-        out.append(gl.sub(gl.sum_mod(gl.mul(hi_limbs, w2[:, None]), axis=0), hi))
-        out.extend(_range_fast(lo_limbs))
-        out.extend(_range_fast(hi_limbs))
+        out = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            addends = wires[jnp.asarray([ws["addends"] + j for j in range(n)])]
+            cin = wires[ws["carry_in"]]
+            lo, hi = wires[ws["lo"]], wires[ws["hi"]]
+            lo_limbs = wires[jnp.asarray([ws["lo_limbs"] + j for j in range(_LIMBS)])]
+            hi_limbs = wires[jnp.asarray([ws["hi_limbs"] + j for j in range(2)])]
+            total = gl.add(gl.sum_mod(addends, axis=0), cin)
+            out.append(gl.sub(total, gl.add(lo, gl.mul(
+                hi, jnp.full_like(hi, gl.U64(1 << 32))))))
+            out.append(gl.sub(_recompose_fast(lo_limbs[None])[0], lo))
+            w2 = jnp.asarray(_W4[:2])
+            out.append(gl.sub(gl.sum_mod(gl.mul(hi_limbs, w2[:, None]), axis=0), hi))
+            out.extend(_range_fast(lo_limbs))
+            out.extend(_range_fast(hi_limbs))
         return out
 
     def generators(self, row, constants):
         from ..ir.builder import Wire
-        ws = self.wires()
         n = self.num_addends
+        gens = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
 
-        def fn(vals, row=row, ws=ws):
-            s = sum(vals)
-            lo, hi = s & 0xFFFFFFFF, s >> 32
-            out = [(Wire(row, ws["lo"]), lo), (Wire(row, ws["hi"]), hi)]
-            for j in range(_LIMBS):
-                out.append((Wire(row, ws["lo_limbs"] + j), (lo >> (2 * j)) & 3))
-            for j in range(2):
-                out.append((Wire(row, ws["hi_limbs"] + j), (hi >> (2 * j)) & 3))
-            return out
+            def fn(vals, row=row, ws=ws):
+                s = sum(vals)
+                lo, hi = s & 0xFFFFFFFF, s >> 32
+                out = [(Wire(row, ws["lo"]), lo), (Wire(row, ws["hi"]), hi)]
+                for j in range(_LIMBS):
+                    out.append((Wire(row, ws["lo_limbs"] + j), (lo >> (2 * j)) & 3))
+                for j in range(2):
+                    out.append((Wire(row, ws["hi_limbs"] + j), (hi >> (2 * j)) & 3))
+                return out
 
-        deps = [Wire(row, ws["addends"] + i) for i in range(n)] + \
-               [Wire(row, ws["carry_in"])]
-        outs = [Wire(row, ws["lo"]), Wire(row, ws["hi"])] + \
-               [Wire(row, ws["lo_limbs"] + j) for j in range(_LIMBS)] + \
-               [Wire(row, ws["hi_limbs"] + j) for j in range(2)]
-        return [LambdaGenerator(deps, fn, outs=outs)]
+            deps = [Wire(row, ws["addends"] + j) for j in range(n)] + \
+                   [Wire(row, ws["carry_in"])]
+            outs = [Wire(row, ws["lo"]), Wire(row, ws["hi"])] + \
+                   [Wire(row, ws["lo_limbs"] + j) for j in range(_LIMBS)] + \
+                   [Wire(row, ws["hi_limbs"] + j) for j in range(2)]
+            gens.append(LambdaGenerator(deps, fn, outs=outs))
+        return gens
+
+
+class U32RangeCheckGate(Gate):
+    """num_ops packed u32 range checks: routed value + 16 aux base-4 limbs
+    (plonky2_u32's U32RangeCheckGate analogue, reference whitelist
+    /root/reference/src/ecdsa/gadgets/ecdsa.rs:93)."""
+
+    IO_WIRES = 1
+    AUX_WIRES = _LIMBS
+
+    def __init__(self, num_ops: int):
+        self.num_ops = num_ops
+
+    @staticmethod
+    def from_config(config) -> "U32RangeCheckGate":
+        per_op = U32RangeCheckGate.IO_WIRES + U32RangeCheckGate.AUX_WIRES
+        return U32RangeCheckGate(max(1, min(config.num_wires // per_op,
+                                            config.num_routed_wires)))
+
+    def key(self) -> str:
+        return f"U32RangeCheck(num_ops={self.num_ops})"
+
+    @property
+    def num_wires(self):
+        return (self.IO_WIRES + self.AUX_WIRES) * self.num_ops
+
+    @property
+    def degree(self):
+        return _BASE
+
+    @property
+    def num_constraints(self):
+        return self.num_ops * (1 + _LIMBS)
+
+    def wires_op(self, i: int):
+        return dict(x=i, limbs=self.num_ops + self.AUX_WIRES * i)
+
+    def eval(self, vars, alg):
+        w = vars.local_wires
+        out = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            out.append(alg.sub(_recompose(alg, w, ws["limbs"], _LIMBS),
+                               w[ws["x"]]))
+            out.extend(_range_constraints(alg, w, ws["limbs"], _LIMBS))
+        return out
+
+    def eval_batch_fast(self, wires, constants, pi_hash):
+        idx = [self.wires_op(i) for i in range(self.num_ops)]
+        x = wires[jnp.asarray([w["x"] for w in idx])]
+        limbs = wires[jnp.asarray(
+            [[w["limbs"] + j for j in range(_LIMBS)] for w in idx])]
+        rc = gl.sub(_recompose_fast(limbs), x)
+        rn = _range_fast(limbs)
+        out = []
+        for i in range(self.num_ops):
+            out.append(rc[i])
+            out.extend(rn[i])
+        return out
+
+    def generators(self, row, constants):
+        from ..ir.builder import Wire
+        gens = []
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+
+            def fn(vals, row=row, ws=ws):
+                v = vals[0]
+                return [(Wire(row, ws["limbs"] + j), (v >> (2 * j)) & 3)
+                        for j in range(_LIMBS)]
+
+            gens.append(LambdaGenerator(
+                [Wire(row, ws["x"])], fn,
+                outs=[Wire(row, ws["limbs"] + j) for j in range(_LIMBS)]))
+        return gens

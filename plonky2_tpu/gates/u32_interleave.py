@@ -44,23 +44,28 @@ def _wsum(bits, weights):
 
 
 class U32InterleaveGate(Gate):
-    """Per-op wires: x, x_interleaved, 32 bits (34)."""
+    """Per-op: routed (x, x_interleaved), aux (32 bits, may live past the
+    routed region)."""
 
-    OP_WIRES = 34
+    IO_WIRES = 2
+    AUX_WIRES = 32
 
     def __init__(self, num_ops: int):
         self.num_ops = num_ops
 
     @staticmethod
     def from_config(config):
-        return U32InterleaveGate(max(1, config.num_routed_wires // U32InterleaveGate.OP_WIRES))
+        per_op = U32InterleaveGate.IO_WIRES + U32InterleaveGate.AUX_WIRES
+        return U32InterleaveGate(max(1, min(
+            config.num_wires // per_op,
+            config.num_routed_wires // U32InterleaveGate.IO_WIRES)))
 
     def key(self):
         return f"U32Interleave(num_ops={self.num_ops})"
 
     @property
     def num_wires(self):
-        return self.OP_WIRES * self.num_ops
+        return (self.IO_WIRES + self.AUX_WIRES) * self.num_ops
 
     @property
     def degree(self):
@@ -71,8 +76,9 @@ class U32InterleaveGate(Gate):
         return self.num_ops * 34
 
     def wires_op(self, i):
-        b = self.OP_WIRES * i
-        return dict(x=b, x_il=b + 1, bits=b + 2)
+        b = self.IO_WIRES * i
+        aux = self.IO_WIRES * self.num_ops + self.AUX_WIRES * i
+        return dict(x=b, x_il=b + 1, bits=aux)
 
     def eval(self, vars, alg):
         w = vars.local_wires
@@ -137,7 +143,8 @@ class _UninterleaveBase(Gate):
 
     Per-op wires: x_dirty, out_evens, out_odds, 64 bits (67)."""
 
-    OP_WIRES = 67
+    IO_WIRES = 3
+    AUX_WIRES = 64
     # subclass sets the packing base for outputs: 2 (u32) or 4 (B32)
     PACK_BASE = None
     NAME = None
@@ -147,14 +154,15 @@ class _UninterleaveBase(Gate):
 
     @classmethod
     def from_config(cls, config):
-        return cls(max(1, config.num_routed_wires // cls.OP_WIRES))
+        return cls(max(1, min(config.num_wires // (cls.IO_WIRES + cls.AUX_WIRES),
+                              config.num_routed_wires // cls.IO_WIRES)))
 
     def key(self):
         return f"{self.NAME}(num_ops={self.num_ops})"
 
     @property
     def num_wires(self):
-        return self.OP_WIRES * self.num_ops
+        return (self.IO_WIRES + self.AUX_WIRES) * self.num_ops
 
     @property
     def degree(self):
@@ -165,8 +173,9 @@ class _UninterleaveBase(Gate):
         return self.num_ops * 67
 
     def wires_op(self, i):
-        b = self.OP_WIRES * i
-        return dict(x=b, evens=b + 1, odds=b + 2, bits=b + 3)
+        b = self.IO_WIRES * i
+        aux = self.IO_WIRES * self.num_ops + self.AUX_WIRES * i
+        return dict(x=b, evens=b + 1, odds=b + 2, bits=aux)
 
     def eval(self, vars, alg):
         w = vars.local_wires

@@ -19,7 +19,9 @@ from plonky2_tpu.gates import (ArithmeticGate, BatchAlg, ConstantGate,
                                EvalVars, NoopGate, PoseidonGate,
                                PublicInputGate)
 from plonky2_tpu.gates.base_sum import BaseSumGate
-from plonky2_tpu.gates.u32_arithmetic import U32AddManyGate, U32ArithmeticGate
+from plonky2_tpu.gates.u32_arithmetic import (U32AddManyGate,
+                                              U32ArithmeticGate,
+                                              U32RangeCheckGate)
 from plonky2_tpu.gates.u32_interleave import (U32InterleaveGate,
                                               UninterleaveToB32Gate,
                                               UninterleaveToU32Gate)
@@ -34,8 +36,9 @@ GATES = [
     PoseidonGate(),
     BaseSumGate(2, 8),
     BaseSumGate(4, 16),
-    U32ArithmeticGate(2),
-    U32AddManyGate(5),
+    U32ArithmeticGate(3),
+    U32AddManyGate(5, 2),
+    U32RangeCheckGate(7),
     U32InterleaveGate(2),
     UninterleaveToU32Gate(1),
     UninterleaveToB32Gate(1),
