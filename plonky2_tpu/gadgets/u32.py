@@ -114,6 +114,10 @@ def add_u32s_with_carry(self, addends: list, carry_in: U32Target):
     cin = carry_in
     while xs:
         chunk, xs = xs[:13], xs[13:]
+        # normalize widths to {4, 13}: fewer gate variants keeps the
+        # selector count and compile time down
+        width = 4 if len(chunk) <= 4 else 13
+        chunk = chunk + [self.zero_u32()] * (width - len(chunk))
         gate = U32AddManyGate.from_config(self.config, len(chunk))
         row, slot = self._claim_slot((gate.key(),), gate, [], gate.num_ops)
         ws = gate.wires_op(slot)

@@ -55,9 +55,16 @@ class MerkleTree:
 
     @staticmethod
     def build(leaves, cap_height: int) -> "MerkleTree":
-        L = leaves.shape[0]
+        L, C = leaves.shape
         assert L & (L - 1) == 0, "leaf count must be a power of 2"
         assert (1 << cap_height) <= L
+        # Pad columns to the sponge rate so circuits with similar oracle
+        # widths share compiled leaf-hash kernels.  Pad zeros are bound by
+        # the Merkle commitment and ignored by every consumer.
+        if C > poseidon.HASH_OUT and C % poseidon.RATE:
+            pad = poseidon.RATE - C % poseidon.RATE
+            leaves = jnp.concatenate(
+                [leaves, jnp.zeros((L, pad), dtype=leaves.dtype)], axis=1)
         levels = list(_merkle_levels(leaves, cap_height))
         return MerkleTree(leaves=leaves, cap_height=cap_height, levels=levels)
 

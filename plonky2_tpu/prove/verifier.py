@@ -140,8 +140,17 @@ def verify(vd, proof: Proof) -> None:
     w_N = gl.primitive_root_of_unity(common.degree_bits + fri_cfg.rate_bits)
     cs_count = sel_count + common.num_constants_polys + nr
 
+    nw = cfg.num_wires
+    n_zspp = nc + nc * (K - 1)
+    n_q = nc << fri_cfg.rate_bits
+
     def combine_fn(idx, leaves):
-        cs_leaf, wires_leaf, zs_leaf, q_leaf = leaves
+        # Merkle leaves may carry zero padding past the logical column
+        # count (merkle.py); truncate to the committed polynomial counts.
+        cs_leaf = leaves[0][:cs_count]
+        wires_leaf = leaves[1][:nw]
+        zs_leaf = leaves[2][:n_zspp]
+        q_leaf = leaves[3][:n_q]
         assert len(cs_leaf) == cs_count
         x = gl.mul_s(COSET_SHIFT, pow(w_N, idx, gl.P))
         flat = list(cs_leaf) + list(wires_leaf) + list(zs_leaf) + list(q_leaf)
