@@ -196,6 +196,21 @@ class CircuitBuilder:
         # a + b - a*b
         return self.sub(self.add(a, b), self.mul(a, b))
 
+    def is_equal(self, a, b):
+        """Boolean target: a == b.  Hint m = (a-b)^-1 (or 0), verify
+        eq = 1 - (a-b)*m with (a-b)*eq == 0 (plonky2's `is_equal`)."""
+        diff = self.sub(a, b)
+        m = self.add_virtual_target()
+
+        def _hint(vals, _m=m):
+            d = vals[0]
+            return [(_m, gl.inv_s(d) if d else 0)]
+
+        self.add_simple_generator(LambdaGenerator([diff], _hint, outs=[m]))
+        eq = self.not_(self.mul(diff, m))
+        self.assert_zero(self.mul(diff, eq))
+        return eq
+
     # ---------------- decomposition ----------------
 
     def split_le(self, x, num_bits: int) -> list:
