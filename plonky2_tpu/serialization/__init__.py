@@ -1,0 +1,4 @@
+from .buffer import Buffer  # noqa: F401
+from .serde import (gate_from_key,  # noqa: F401
+                    deserialize_proof, deserialize_verifier_data,
+                    serialize_proof, serialize_verifier_data)
