@@ -25,6 +25,16 @@ class CircuitConfig:
     # degree-n chunks
     max_quotient_degree_factor: int = 8
     fri: FriConfig = field(default_factory=FriConfig)
+    # in-circuit ("inner") algebraic hasher: "poseidon" | "poseidon2".
+    # Mirrors the GenericConfig InnerHasher choice (the reference whitelists
+    # Poseidon2Gate, /root/reference/src/ecdsa/gadgets/ecdsa.rs:85-87).
+    # The transcript/Merkle hasher remains Poseidon (the reference's default
+    # PoseidonGoldilocksConfig).
+    algebraic_hasher: str = "poseidon"
+
+    def hasher_module(self):
+        from ..hashes import poseidon, poseidon2
+        return poseidon2 if self.algebraic_hasher == "poseidon2" else poseidon
 
     @staticmethod
     def standard_recursion_config() -> "CircuitConfig":
@@ -37,6 +47,12 @@ class CircuitConfig:
     @staticmethod
     def wide_ecc_config() -> "CircuitConfig":
         return CircuitConfig(num_wires=234, num_routed_wires=80)
+
+    @staticmethod
+    def poseidon2_config() -> "CircuitConfig":
+        """standard_recursion_config with Poseidon2 as the inner hasher
+        (the reference's Poseidon2GoldilocksConfig slot)."""
+        return CircuitConfig(algebraic_hasher="poseidon2")
 
     @staticmethod
     def test_config() -> "CircuitConfig":

@@ -188,8 +188,10 @@ def compile_circuit(builder) -> CircuitData:
     from ..ir.builder import Wire
     pi_targets = list(builder.public_inputs)
 
-    def _pi_fn(vals, row=pi_gate_row):
-        h = poseidon.hash_no_pad_s([v % gl.P for v in vals])
+    _pi_hasher = config.hasher_module()
+
+    def _pi_fn(vals, row=pi_gate_row, hasher=_pi_hasher):
+        h = hasher.hash_no_pad_s([v % gl.P for v in vals])
         return [(Wire(row, i), h[i]) for i in range(4)]
 
     generators.append(LambdaGenerator(

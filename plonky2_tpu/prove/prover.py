@@ -257,7 +257,7 @@ def prove(pd, inputs: dict) -> Proof:
         for w in pd.class_wires.get(rep, ()):
             wires_host[w.column, w.row] = v
     pi_values = [store.get(t) for t in pd.pi_targets]
-    pi_hash = poseidon.hash_no_pad_s(pi_values)
+    pi_hash = cfg.hasher_module().hash_no_pad_s(pi_values)
 
     # ---- 2. commit wires ----
     wires_coeffs, wires_lde = _lde_commit(jnp.asarray(wires_host), rate)

@@ -28,7 +28,8 @@ def verify(vd, proof: Proof) -> None:
     K = common.num_partial_products + 1
 
     assert len(proof.public_inputs) == common.num_public_inputs
-    pi_hash = poseidon.hash_no_pad_s([v % gl.P for v in proof.public_inputs])
+    pi_hash = cfg.hasher_module().hash_no_pad_s(
+        [v % gl.P for v in proof.public_inputs])
 
     # ---- challenger replay ----
     ch = Challenger()

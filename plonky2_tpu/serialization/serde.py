@@ -30,6 +30,11 @@ from .buffer import Buffer
 # gate registry
 # ------------------------------------------------------------------
 
+def _poseidon2_gate():
+    from ..gates import Poseidon2Gate
+    return Poseidon2Gate()
+
+
 def _registry():
     from ..gates import (ArithmeticGate, ConstantGate, NoopGate,
                          PoseidonGate, PublicInputGate)
@@ -46,6 +51,7 @@ def _registry():
         "PublicInput": lambda a: PublicInputGate(),
         "Noop": lambda a: NoopGate(),
         "Poseidon": lambda a: PoseidonGate(),
+        "Poseidon2": lambda a: _poseidon2_gate(),
         "U32Arithmetic": lambda a: U32ArithmeticGate(num_ops=a["num_ops"]),
         "U32AddMany": lambda a: U32AddManyGate(a["num_addends"],
                                                a["num_ops"]),
@@ -179,16 +185,18 @@ def _write_config(buf: Buffer, cfg: CircuitConfig) -> None:
     for v in (f.rate_bits, f.cap_height, f.proof_of_work_bits,
               f.num_query_rounds, f.arity_bits, f.final_poly_bits):
         buf.write_u32(v)
+    buf.write_str(cfg.algebraic_hasher)
 
 
 def _read_config(buf: Buffer) -> CircuitConfig:
     vals = [buf.read_u32() for _ in range(6)]
     fvals = [buf.read_u32() for _ in range(6)]
+    hasher = buf.read_str()
     return CircuitConfig(num_wires=vals[0], num_routed_wires=vals[1],
                          num_constants=vals[2], num_challenges=vals[3],
                          security_bits=vals[4],
                          max_quotient_degree_factor=vals[5],
-                         fri=FriConfig(*fvals))
+                         fri=FriConfig(*fvals), algebraic_hasher=hasher)
 
 
 def serialize_verifier_data(vd: VerifierData) -> bytes:

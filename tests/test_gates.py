@@ -16,8 +16,8 @@ import pytest
 
 from plonky2_tpu.field import gl
 from plonky2_tpu.gates import (ArithmeticGate, BatchAlg, ConstantGate,
-                               EvalVars, NoopGate, PoseidonGate,
-                               PublicInputGate)
+                               EvalVars, NoopGate, Poseidon2Gate,
+                               PoseidonGate, PublicInputGate)
 from plonky2_tpu.gates.base_sum import BaseSumGate
 from plonky2_tpu.gates.u32_arithmetic import (U32AddManyGate,
                                               U32ArithmeticGate,
@@ -34,6 +34,7 @@ GATES = [
     ConstantGate(2),
     PublicInputGate(),
     PoseidonGate(),
+    Poseidon2Gate(),
     BaseSumGate(2, 8),
     BaseSumGate(4, 16),
     U32ArithmeticGate(3),
