@@ -237,6 +237,12 @@ def _make_kernels(common):
 # ------------------------------------------------------------------
 
 def prove(pd, inputs: dict) -> Proof:
+    from ..utils import timed_span
+    with timed_span(f"prove (2^{pd.common.degree_bits} rows)"):
+        return _prove_impl(pd, inputs)
+
+
+def _prove_impl(pd, inputs: dict) -> Proof:
     common = pd.common
     cfg = common.config
     fri_cfg = cfg.fri
@@ -248,7 +254,9 @@ def prove(pd, inputs: dict) -> Proof:
     kernels = get_kernels(pd)
 
     # ---- 1. witness ----
-    store = generate_witness(pd, inputs)
+    from ..utils import timed_span
+    with timed_span("witness generation"):
+        store = generate_witness(pd, inputs)
     from ..ir.builder import Wire
     wires_host = np.zeros((cfg.num_wires, n), dtype=np.uint64)
     for rep, v in store._vals.items():
@@ -260,8 +268,10 @@ def prove(pd, inputs: dict) -> Proof:
     pi_hash = cfg.hasher_module().hash_no_pad_s(pi_values)
 
     # ---- 2. commit wires ----
-    wires_coeffs, wires_lde = _lde_commit(jnp.asarray(wires_host), rate)
-    wires_tree = MerkleTree.build(wires_lde.T, fri_cfg.cap_height)
+    with timed_span("wire LDE + Merkle commit"):
+        wires_coeffs, wires_lde = _lde_commit(jnp.asarray(wires_host), rate)
+        wires_tree = MerkleTree.build(wires_lde.T, fri_cfg.cap_height)
+        wires_tree.cap_host()
 
     ch = Challenger()
     ch.observe_cap(pd.cs_tree.cap_host())
@@ -274,11 +284,13 @@ def prove(pd, inputs: dict) -> Proof:
     g_pows = jnp.asarray(host_powers(
         gl.primitive_root_of_unity(common.degree_bits), n))
     k_arr = gl.to_u64(common.k_is)
-    zs_pp_vals = kernels["z_phase"](
-        jnp.asarray(wires_host[:nr]), pd.sigma_polys, k_arr, g_pows,
-        gl.to_u64(betas), gl.to_u64(gammas))
-    zs_pp_coeffs, zs_pp_lde = _lde_commit(zs_pp_vals, rate)
-    zs_tree = MerkleTree.build(zs_pp_lde.T, fri_cfg.cap_height)
+    with timed_span("permutation Z polys + commit"):
+        zs_pp_vals = kernels["z_phase"](
+            jnp.asarray(wires_host[:nr]), pd.sigma_polys, k_arr, g_pows,
+            gl.to_u64(betas), gl.to_u64(gammas))
+        zs_pp_coeffs, zs_pp_lde = _lde_commit(zs_pp_vals, rate)
+        zs_tree = MerkleTree.build(zs_pp_lde.T, fri_cfg.cap_height)
+        zs_tree.cap_host()
     ch.observe_cap(zs_tree.cap_host())
     alphas = ch.get_n_challenges(nc)
 
@@ -300,11 +312,13 @@ def prove(pd, inputs: dict) -> Proof:
                                   jnp.full_like(x_lde, gl.U64(n)))))
     sinv_pows = jnp.asarray(host_powers(gl.inv_s(COSET_SHIFT), N))
 
-    q_polys, q_lde = kernels["quotient_phase"](
-        wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde, x_lde, zh_inv,
-        l1, k_arr, gl.to_u64(betas), gl.to_u64(gammas), gl.to_u64(alphas),
-        gl.to_u64(pi_hash), sinv_pows)
-    q_tree = MerkleTree.build(q_lde.T, fri_cfg.cap_height)
+    with timed_span("quotient evaluation + commit"):
+        q_polys, q_lde = kernels["quotient_phase"](
+            wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde, x_lde, zh_inv,
+            l1, k_arr, gl.to_u64(betas), gl.to_u64(gammas), gl.to_u64(alphas),
+            gl.to_u64(pi_hash), sinv_pows)
+        q_tree = MerkleTree.build(q_lde.T, fri_cfg.cap_height)
+        q_tree.cap_host()
     ch.observe_cap(q_tree.cap_host())
     zeta = ch.get_ext_challenge()
 
@@ -316,11 +330,12 @@ def prove(pd, inputs: dict) -> Proof:
         arr = np.asarray(eval_polys_at_ext(coeffs, point))
         return [(int(a), int(b)) for a, b in arr]
 
-    cs_open = open_at(pd.cs_coeffs, zeta)
-    wires_open = open_at(wires_coeffs, zeta)
-    zs_pp_open = open_at(zs_pp_coeffs, zeta)
-    zs_next_open = open_at(zs_pp_coeffs[:nc], zeta_next)
-    q_open = open_at(q_polys, zeta)
+    with timed_span("openings at zeta"):
+        cs_open = open_at(pd.cs_coeffs, zeta)
+        wires_open = open_at(wires_coeffs, zeta)
+        zs_pp_open = open_at(zs_pp_coeffs, zeta)
+        zs_next_open = open_at(zs_pp_coeffs[:nc], zeta_next)
+        q_open = open_at(q_polys, zeta)
 
     openings = OpeningSet(cs_open, wires_open, zs_pp_open, zs_next_open, q_open)
     for e in openings.observe_order():
@@ -338,12 +353,13 @@ def prove(pd, inputs: dict) -> Proof:
     for v in reversed(zs_next_open):
         o1 = ext.add_s(ext.mul_s(o1, fri_alpha), v)
     alpha_b0 = ext.pow_s(fri_alpha, B0)
-    composite = kernels["composite"](
-        batch0_lde, zs_pp_lde[:nc], _ext_arr(fri_alpha), _ext_arr(zeta),
-        _ext_arr(zeta_next), _ext_arr(o0), _ext_arr(o1), _ext_arr(alpha_b0),
-        x_lde)
-    fri = fri_prove(composite, common.degree_bits, fri_cfg, ch, COSET_SHIFT,
-                    [pd.cs_tree, wires_tree, zs_tree, q_tree])
+    with timed_span("FRI (composite + commit phases + queries)"):
+        composite = kernels["composite"](
+            batch0_lde, zs_pp_lde[:nc], _ext_arr(fri_alpha), _ext_arr(zeta),
+            _ext_arr(zeta_next), _ext_arr(o0), _ext_arr(o1), _ext_arr(alpha_b0),
+            x_lde)
+        fri = fri_prove(composite, common.degree_bits, fri_cfg, ch, COSET_SHIFT,
+                        [pd.cs_tree, wires_tree, zs_tree, q_tree])
 
     return Proof(
         wires_cap=wires_tree.cap_host(),
