@@ -24,8 +24,9 @@ from dataclasses import dataclass
 from ..field import secp
 from ..ir.builder import CircuitBuilder
 from ..witness import LambdaGenerator
-from .biguint import biguint_to_int
+from .biguint import BigUintTarget, biguint_to_int
 from .nonnative import NonNativeTarget
+from .u32 import U32Target
 
 
 @dataclass
@@ -139,22 +140,23 @@ def curve_scalar_mul(self, p: AffinePointTarget, n: NonNativeTarget) -> AffinePo
     return self.curve_add(acc, self.constant_affine_point(secp.neg(BLIND)))
 
 
-def random_access_nonnative(self, index_bits: list, values: list) -> NonNativeTarget:
-    """Binary mux tree over a power-of-two list of nonnative values."""
-    layer = list(values)
-    for bit in index_bits:
-        nxt = []
-        for i in range(0, len(layer), 2):
-            nxt.append(self.if_nonnative(bit, layer[i + 1], layer[i]))
-        layer = nxt
-    assert len(layer) == 1
-    return layer[0]
+def random_access_nonnative(self, index, values: list) -> NonNativeTarget:
+    """Per-limb RandomAccessGate select over nonnative values — the
+    reference's per-limb `random_access` (curve_windowed_mul.rs:73-117),
+    one packed gate copy per limb instead of a 2^k select-gate mux tree."""
+    num_limbs = values[0].value.num_limbs
+    modulus = values[0].modulus
+    assert all(v.value.num_limbs == num_limbs for v in values)
+    limbs = [U32Target(self.random_access(
+        index, [v.value.limbs[i].target for v in values]))
+        for i in range(num_limbs)]
+    return NonNativeTarget(BigUintTarget(limbs), modulus)
 
 
-def random_access_curve_points(self, index_bits: list, points: list) -> AffinePointTarget:
+def random_access_curve_points(self, index, points: list) -> AffinePointTarget:
     """(curve_windowed_mul.rs:73-117) — select one of 2^k points."""
-    xs = self.random_access_nonnative(index_bits, [p.x for p in points])
-    ys = self.random_access_nonnative(index_bits, [p.y for p in points])
+    xs = self.random_access_nonnative(index, [p.x for p in points])
+    ys = self.random_access_nonnative(index, [p.y for p in points])
     return AffinePointTarget(xs, ys)
 
 
@@ -179,8 +181,7 @@ def curve_scalar_mul_windowed(self, p: AffinePointTarget,
             for _ in range(4):
                 acc = self.curve_double(acc)
                 extra *= 2
-        bits = self.split_le(limbs[w], 4)
-        entry = self.random_access_curve_points(bits, table)
+        entry = self.random_access_curve_points(limbs[w], table)
         acc = entry if acc is None else self.curve_add(acc, entry)
         extra += 1
     correction = secp.mul(BLIND, extra)
@@ -202,8 +203,7 @@ def fixed_base_curve_mul(self, base: secp.Point,
         for j in range(16):
             tbl.append(self.constant_affine_point(cur))
             cur = secp.add(cur, step)
-        bits = self.split_le(limb, 4)
-        entry = self.random_access_curve_points(bits, tbl)
+        entry = self.random_access_curve_points(limb, tbl)
         acc = self.curve_add(acc, entry)
     correction = BLIND
     for w in range(len(limbs)):
@@ -240,9 +240,9 @@ def curve_msm(self, p: AffinePointTarget, q: AffinePointTarget,
         if acc is not None:
             acc = self.curve_double(self.curve_double(acc))
             extra *= 4
-        bn = self.split_le(limbs_n[w], 2)
-        bm = self.split_le(limbs_m[w], 2)
-        entry = self.random_access_curve_points(bn + bm, table)
+        # table index = limb_n + 4*limb_m
+        idx = self.arithmetic(4, 1, limbs_m[w], self.one(), limbs_n[w])
+        entry = self.random_access_curve_points(idx, table)
         acc = entry if acc is None else self.curve_add(acc, entry)
         extra += 1
     correction = secp.mul(BLIND, extra)

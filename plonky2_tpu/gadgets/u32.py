@@ -141,13 +141,20 @@ def add_many_u32(self, addends: list):
 
 
 def sub_u32(self, a: U32Target, b: U32Target, borrow_in: U32Target):
-    """a - b - borrow_in -> (diff, borrow_out), borrows in {0,1}."""
-    not_b = U32Target(self.arithmetic(gl.P - 1, 0xFFFFFFFF, b.target,
-                                      self.one(), self.one()))
-    not_bin = U32Target(self.sub(self.one(), borrow_in.target))
-    lo, hi = self.add_u32s_with_carry([a, not_b], not_bin)
-    borrow_out = U32Target(self.sub(self.one(), hi.target))
-    return lo, borrow_out
+    """a - b - borrow_in -> (diff, borrow_out), borrows in {0,1}
+    (plonky2_u32's U32SubtractionGate, one packed op slot)."""
+    from ..gates.comparison import U32SubtractionGate
+    gate = U32SubtractionGate.from_config(self.config)
+    row, slot = self._claim_slot((gate.key(),), gate, [], gate.num_ops)
+    ws = gate.wires_op(slot)
+    self.connect(a.target, Wire(row, ws["x"]))
+    self.connect(b.target, Wire(row, ws["y"]))
+    self.connect(borrow_in.target, Wire(row, ws["borrow_in"]))
+    res = self.add_virtual_target()
+    bout = self.add_virtual_target()
+    self.connect(res, Wire(row, ws["result"]))
+    self.connect(bout, Wire(row, ws["borrow_out"]))
+    return U32Target(res), U32Target(bout)
 
 
 def is_less_than_u32(self, a: U32Target, b: U32Target):

@@ -236,6 +236,162 @@ class CircuitBuilder:
             acc = self.mul_add(self.two(), acc, b)
         return acc
 
+    # ---------------- dynamic indexing / exponentiation / comparison ----
+
+    def random_access(self, index, items: list):
+        """items[index], constrained (plonky2's `random_access` via
+        RandomAccessGate — reference usage /root/reference/src/ecdsa/
+        gadgets/curve_windowed_mul.rs:97).  Pads the list to a power of
+        two with its last element; slot-packed per (bits) variant."""
+        from ..gates.random_access import RandomAccessGate
+        n = len(items)
+        assert n >= 1
+        if n == 1:
+            return items[0]
+        bits = (n - 1).bit_length()
+        items = list(items) + [items[-1]] * ((1 << bits) - n)
+        gate = RandomAccessGate.from_config(self.config, bits)
+        row, slot = self._claim_slot((gate.key(),), gate, [], gate.num_copies)
+        ws = gate.wires_copy(slot)
+        self.connect(index, Wire(row, ws["index"]))
+        for i, it in enumerate(items):
+            self.connect(it, Wire(row, ws["items"] + i))
+        out = self.add_virtual_target()
+        self.connect(out, Wire(row, ws["claimed"]))
+        return out
+
+    def exp_from_bits(self, base, bits: list):
+        """base ^ sum(bits[i] * 2^i) via one ExponentiationGate (bits must
+        be boolean; the gate re-checks them)."""
+        from ..gates.exponentiation import ExponentiationGate
+        gate = ExponentiationGate(len(bits))
+        row = self.add_gate(gate, [])
+        self.connect(base, Wire(row, gate.WIRE_BASE))
+        for i, b in enumerate(bits):
+            self.connect(b, Wire(row, gate.wire_bit(i)))
+        out = self.add_virtual_target()
+        self.connect(out, Wire(row, gate.wire_output))
+        return out
+
+    def exp_u64(self, base, exponent, num_bits: int = 64):
+        """base ^ exponent for a target exponent of known bit width."""
+        return self.exp_from_bits(base, self.split_le(exponent, num_bits))
+
+    def le_compare(self, a, b, num_bits: int = 32):
+        """Boolean target (a <= b) via one ComparisonGate; caller must
+        guarantee a, b < 2^num_bits."""
+        from ..gates.comparison import ComparisonGate
+        gate = ComparisonGate(num_bits)
+        row = self.add_gate(gate, [])
+        self.connect(a, Wire(row, gate.WIRE_A))
+        self.connect(b, Wire(row, gate.WIRE_B))
+        out = self.add_virtual_target()
+        self.connect(out, Wire(row, gate.WIRE_RESULT))
+        return out
+
+    # ---------------- extension-field ops (GF(p^2), field/ext.py) -------
+    # An extension target is a (c0, c1) tuple of base targets; mirrors the
+    # plonky2 ExtensionTarget API the reference's gates use recursively
+    # (reduce_with_powers_ext_circuit, /root/reference/src/u32/gates/
+    # interleave_u32.rs:17,146).
+
+    def add_virtual_extension_target(self):
+        return (self.add_virtual_target(), self.add_virtual_target())
+
+    def constant_extension(self, c):
+        c0, c1 = c if isinstance(c, tuple) else (c, 0)
+        return (self.constant(c0), self.constant(c1))
+
+    def zero_extension(self):
+        return self.constant_extension((0, 0))
+
+    def one_extension(self):
+        return self.constant_extension((1, 0))
+
+    def connect_extension(self, a, b):
+        self.connect(a[0], b[0])
+        self.connect(a[1], b[1])
+
+    def arithmetic_extension(self, c0: int, c1: int, m0, m1, addend):
+        """c0*m0*m1 + c1*addend over GF(p^2); one ArithmeticExtensionGate
+        slot (constants per-row, packed like the base `arithmetic`)."""
+        from ..gates.extension import ArithmeticExtensionGate
+        c0, c1 = c0 % gl.P, c1 % gl.P
+        gate = ArithmeticExtensionGate.from_config(self.config)
+        key = (gate.key(), c0, c1)
+        row, slot = self._claim_slot(key, gate, [c0, c1], gate.num_ops)
+        ws = gate.wires_op(slot)
+        for name, t in (("m0", m0), ("m1", m1), ("addend", addend)):
+            self.connect(t[0], Wire(row, ws[name]))
+            self.connect(t[1], Wire(row, ws[name] + 1))
+        out = self.add_virtual_extension_target()
+        self.connect(out[0], Wire(row, ws["out"]))
+        self.connect(out[1], Wire(row, ws["out"] + 1))
+        return out
+
+    def mul_extension(self, a, b):
+        from ..gates.extension import MulExtensionGate
+        gate = MulExtensionGate.from_config(self.config)
+        key = (gate.key(), 1)
+        row, slot = self._claim_slot(key, gate, [1], gate.num_ops)
+        ws = gate.wires_op(slot)
+        for name, t in (("m0", a), ("m1", b)):
+            self.connect(t[0], Wire(row, ws[name]))
+            self.connect(t[1], Wire(row, ws[name] + 1))
+        out = self.add_virtual_extension_target()
+        self.connect(out[0], Wire(row, ws["out"]))
+        self.connect(out[1], Wire(row, ws["out"] + 1))
+        return out
+
+    def add_extension(self, a, b):
+        return self.arithmetic_extension(1, 1, a, self.one_extension(), b)
+
+    def sub_extension(self, a, b):
+        return self.arithmetic_extension(1, gl.P - 1, a, self.one_extension(), b)
+
+    def mul_add_extension(self, a, b, c):
+        return self.arithmetic_extension(1, 1, a, b, c)
+
+    def scalar_mul_ext(self, s: int, a):
+        return self.arithmetic_extension(s, 0, a, self.one_extension(),
+                                         self.zero_extension())
+
+    def _reduce_ext(self, alpha, terms, gate_cls, max_coeffs, to_ext):
+        acc = self.zero_extension()
+        for start in range(0, len(terms), max_coeffs):
+            chunk = terms[start:start + max_coeffs]
+            gate = gate_cls(len(chunk))
+            row = self.add_gate(gate, [])
+            self.connect(alpha[0], Wire(row, gate.WIRE_ALPHA))
+            self.connect(alpha[1], Wire(row, gate.WIRE_ALPHA + 1))
+            self.connect(acc[0], Wire(row, gate.WIRE_OLD_ACC))
+            self.connect(acc[1], Wire(row, gate.WIRE_OLD_ACC + 1))
+            for i, t in enumerate(chunk):
+                if to_ext:
+                    self.connect(t[0], Wire(row, gate.WIRE_COEFFS + 2 * i))
+                    self.connect(t[1], Wire(row, gate.WIRE_COEFFS + 2 * i + 1))
+                else:
+                    self.connect(t, Wire(row, gate.WIRE_COEFFS + i))
+            acc = self.add_virtual_extension_target()
+            self.connect(acc[0], Wire(row, gate.WIRE_OUTPUT))
+            self.connect(acc[1], Wire(row, gate.WIRE_OUTPUT + 1))
+        return acc
+
+    def reduce_with_powers_ext(self, alpha, terms: list):
+        """sum_i terms[i] * alpha^(n-1-i) for base-field targets `terms`
+        (Horner over ReducingGate rows)."""
+        from ..gates.extension import ReducingGate
+        return self._reduce_ext(alpha, list(terms), ReducingGate,
+                                ReducingGate.max_coeffs(self.config), False)
+
+    def reduce_with_powers_ext_circuit(self, alpha, terms: list):
+        """Horner fold of extension targets by alpha (plonky2's
+        `reduce_with_powers_ext_circuit`)."""
+        from ..gates.extension import ReducingExtensionGate
+        return self._reduce_ext(alpha, list(terms), ReducingExtensionGate,
+                                ReducingExtensionGate.max_coeffs(self.config),
+                                True)
+
     # ---------------- public inputs ----------------
 
     def register_public_input(self, t):

@@ -61,7 +61,41 @@ def _registry():
             lambda a: UninterleaveToU32Gate(num_ops=a["num_ops"]),
         "UninterleaveToB32":
             lambda a: UninterleaveToB32Gate(num_ops=a["num_ops"]),
+        "RandomAccess": lambda a: _random_access(a),
+        "U32Subtraction": lambda a: _u32_subtraction(a),
+        "Comparison": lambda a: _comparison(a),
+        "Exponentiation": lambda a: _exponentiation(a),
+        "ArithmeticExtension": lambda a: _ext_gate("ArithmeticExtensionGate", a),
+        "MulExtension": lambda a: _ext_gate("MulExtensionGate", a),
+        "Reducing": lambda a: _ext_gate("ReducingGate", a),
+        "ReducingExtension": lambda a: _ext_gate("ReducingExtensionGate", a),
     }
+
+
+def _ext_gate(name, a):
+    from ..gates import extension
+    cls = getattr(extension, name)
+    return cls(a["num_ops"]) if "num_ops" in a else cls(a["num_coeffs"])
+
+
+def _random_access(a):
+    from ..gates.random_access import RandomAccessGate
+    return RandomAccessGate(a["bits"], a["num_copies"])
+
+
+def _u32_subtraction(a):
+    from ..gates.comparison import U32SubtractionGate
+    return U32SubtractionGate(num_ops=a["num_ops"])
+
+
+def _comparison(a):
+    from ..gates.comparison import ComparisonGate
+    return ComparisonGate(num_bits=a["num_bits"])
+
+
+def _exponentiation(a):
+    from ..gates.exponentiation import ExponentiationGate
+    return ExponentiationGate(num_power_bits=a["num_power_bits"])
 
 
 _KEY_RE = re.compile(r"^(\w+)(?:\((.*)\))?$")

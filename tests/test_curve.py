@@ -37,8 +37,7 @@ def test_curve_ops_prove_verify():
     c1 = b.curve_conditional_add(p1, p2, b.one())
     c0 = b.curve_conditional_add(p1, p2, b.zero())
     sel = b.random_access_curve_points(
-        [b.one(), b.zero()],
-        [p1, p2, s, d])       # index bits LSB first: 1 -> entry 1 = p2
+        b.one(), [p1, p2, s, d])       # index 1 -> entry 1 = p2
     for pt in [s, d, n, c1, c0, sel]:
         for t in pt.x.value.limbs + pt.y.value.limbs:
             b.register_public_input(t.target)

@@ -45,6 +45,26 @@ GATES = [
     UninterleaveToB32Gate(1),
 ]
 
+from plonky2_tpu.gates.comparison import ComparisonGate, U32SubtractionGate  # noqa: E402
+from plonky2_tpu.gates.exponentiation import ExponentiationGate  # noqa: E402
+from plonky2_tpu.gates.random_access import RandomAccessGate  # noqa: E402
+
+from plonky2_tpu.gates.extension import (ArithmeticExtensionGate,  # noqa: E402
+                                         MulExtensionGate,
+                                         ReducingExtensionGate, ReducingGate)
+
+GATES += [
+    RandomAccessGate(bits=4, num_copies=2),
+    RandomAccessGate(bits=1, num_copies=3),
+    U32SubtractionGate(num_ops=2),
+    ComparisonGate(num_bits=32),
+    ExponentiationGate(num_power_bits=6),
+    ArithmeticExtensionGate(num_ops=3),
+    MulExtensionGate(num_ops=4),
+    ReducingGate(num_coeffs=5),
+    ReducingExtensionGate(num_coeffs=3),
+]
+
 
 def _rand_arr(shape):
     return jnp.asarray(np.array(
