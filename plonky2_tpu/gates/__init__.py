@@ -8,3 +8,4 @@ from .comparison import ComparisonGate, U32SubtractionGate  # noqa: F401
 from .exponentiation import ExponentiationGate  # noqa: F401
 from .extension import (ArithmeticExtensionGate, MulExtensionGate,  # noqa: F401
                         ReducingExtensionGate, ReducingGate)
+from .coset_interpolation import CosetInterpolationGate  # noqa: F401

@@ -384,6 +384,26 @@ class CircuitBuilder:
         return self._reduce_ext(alpha, list(terms), ReducingGate,
                                 ReducingGate.max_coeffs(self.config), False)
 
+    def interpolate_coset(self, subgroup_bits: int, shift, values: list, z):
+        """Evaluate, at extension target `z`, the interpolant of the
+        extension targets `values` given on the coset shift*H with
+        |H| = 2^subgroup_bits and values[i] at shift * g^i
+        (CosetInterpolationGate — the recursive FRI fold check)."""
+        from ..gates.coset_interpolation import CosetInterpolationGate
+        gate = CosetInterpolationGate(subgroup_bits)
+        assert len(values) == gate.n_points
+        row = self.add_gate(gate, [])
+        self.connect(shift, Wire(row, gate.WIRE_SHIFT))
+        for i, t in enumerate(values):
+            self.connect(t[0], Wire(row, gate.wire_values + 2 * i))
+            self.connect(t[1], Wire(row, gate.wire_values + 2 * i + 1))
+        self.connect(z[0], Wire(row, gate.wire_z))
+        self.connect(z[1], Wire(row, gate.wire_z + 1))
+        out = self.add_virtual_extension_target()
+        self.connect(out[0], Wire(row, gate.wire_output))
+        self.connect(out[1], Wire(row, gate.wire_output + 1))
+        return out
+
     def reduce_with_powers_ext_circuit(self, alpha, terms: list):
         """Horner fold of extension targets by alpha (plonky2's
         `reduce_with_powers_ext_circuit`)."""

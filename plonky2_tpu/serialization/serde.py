@@ -69,7 +69,13 @@ def _registry():
         "MulExtension": lambda a: _ext_gate("MulExtensionGate", a),
         "Reducing": lambda a: _ext_gate("ReducingGate", a),
         "ReducingExtension": lambda a: _ext_gate("ReducingExtensionGate", a),
+        "CosetInterpolation": lambda a: _coset_interpolation(a),
     }
+
+
+def _coset_interpolation(a):
+    from ..gates.coset_interpolation import CosetInterpolationGate
+    return CosetInterpolationGate(subgroup_bits=a["subgroup_bits"])
 
 
 def _ext_gate(name, a):

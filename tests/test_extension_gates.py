@@ -46,6 +46,33 @@ def test_extension_arithmetic_circuit():
     _run(build)
 
 
+def test_coset_interpolation_circuit():
+    def build(b):
+        bits = 2
+        n = 1 << bits
+        g = gl.primitive_root_of_unity(bits)
+        shift = RNG.randrange(1, gl.P)
+        coeffs = [_rand_ext() for _ in range(n)]
+
+        def poly_eval(x):
+            acc = ext.ZERO
+            for c in reversed(coeffs):
+                acc = ext.add_s(ext.mul_s(acc, x), c)
+            return acc
+
+        values = [poly_eval(ext.from_base_s(shift * pow(g, i, gl.P) % gl.P))
+                  for i in range(n)]
+        z = _rand_ext()
+        got = b.interpolate_coset(
+            bits, b.constant(shift),
+            [b.constant_extension(v) for v in values],
+            b.constant_extension(z))
+        b.connect_extension(got, b.constant_extension(poly_eval(z)))
+        return {}
+
+    _run(build)
+
+
 def test_reducing_gates_circuit():
     def build(b):
         alpha = _rand_ext()

@@ -65,6 +65,14 @@ GATES += [
     ReducingExtensionGate(num_coeffs=3),
 ]
 
+from plonky2_tpu.gates.coset_interpolation import CosetInterpolationGate  # noqa: E402
+
+GATES += [
+    CosetInterpolationGate(subgroup_bits=1),
+    CosetInterpolationGate(subgroup_bits=2),
+    CosetInterpolationGate(subgroup_bits=3),
+]
+
 
 def _rand_arr(shape):
     return jnp.asarray(np.array(
