@@ -80,19 +80,23 @@ class U32SubtractionGate(Gate):
                 x, y, bin_ = vals
                 d = x - y - bin_
                 bout = 1 if d < 0 else 0
-                res = d + (bout << 32)
-                out = [(Wire(row, ws["result"]), res),
-                       (Wire(row, ws["borrow_out"]), bout)]
-                for j in range(_LIMBS):
-                    out.append((Wire(row, ws["limbs"] + j), (res >> (2 * j)) & 3))
-                return out
+                return [(Wire(row, ws["result"]), d + (bout << 32)),
+                        (Wire(row, ws["borrow_out"]), bout)]
 
             gens.append(LambdaGenerator(
                 [Wire(row, ws["x"]), Wire(row, ws["y"]),
                  Wire(row, ws["borrow_in"])], fn,
-                outs=[Wire(row, ws["result"]), Wire(row, ws["borrow_out"])] +
-                     [Wire(row, ws["limbs"] + j) for j in range(_LIMBS)]))
+                outs=[Wire(row, ws["result"]), Wire(row, ws["borrow_out"])]))
         return gens
+
+    def aux_fill(self, rows, wires):
+        import numpy as np
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            res = wires[ws["result"], rows]
+            for j in range(_LIMBS):
+                wires[ws["limbs"] + j, rows] = \
+                    (res >> np.uint64(2 * j)) & np.uint64(3)
 
 
 class ComparisonGate(Gate):

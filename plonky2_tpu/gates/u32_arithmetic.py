@@ -137,6 +137,9 @@ class U32ArithmeticGate(Gate):
         return out
 
     def generators(self, row, constants):
+        # Only the routed dataflow (x*y+z -> lo, hi) goes through the
+        # scheduler; the 32 range limbs per op are batch-filled by
+        # `aux_fill` after the dataflow fixed point.
         from ..ir.builder import Wire
         gens = []
         for i in range(self.num_ops):
@@ -145,20 +148,25 @@ class U32ArithmeticGate(Gate):
             def fn(vals, row=row, ws=ws):
                 x, y, z = vals
                 r = (x * y + z)
-                lo, hi = r & 0xFFFFFFFF, r >> 32
-                out = [(Wire(row, ws["lo"]), lo), (Wire(row, ws["hi"]), hi)]
-                for j in range(_LIMBS):
-                    out.append((Wire(row, ws["lo_limbs"] + j), (lo >> (2 * j)) & 3))
-                    out.append((Wire(row, ws["hi_limbs"] + j), (hi >> (2 * j)) & 3))
-                return out
+                return [(Wire(row, ws["lo"]), r & 0xFFFFFFFF),
+                        (Wire(row, ws["hi"]), r >> 32)]
 
             gens.append(LambdaGenerator(
                 [Wire(row, ws["x"]), Wire(row, ws["y"]), Wire(row, ws["z"])],
-                fn,
-                outs=[Wire(row, ws["lo"]), Wire(row, ws["hi"])] +
-                     [Wire(row, ws["lo_limbs"] + j) for j in range(_LIMBS)] +
-                     [Wire(row, ws["hi_limbs"] + j) for j in range(_LIMBS)]))
+                fn, outs=[Wire(row, ws["lo"]), Wire(row, ws["hi"])]))
         return gens
+
+    def aux_fill(self, rows, wires):
+        """Vectorized limb fill for every row of this gate type: reads the
+        scattered lo/hi io wires and writes the base-4 decompositions."""
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            lo = wires[ws["lo"], rows]
+            hi = wires[ws["hi"], rows]
+            for j in range(_LIMBS):
+                sh = np.uint64(2 * j)
+                wires[ws["lo_limbs"] + j, rows] = (lo >> sh) & np.uint64(3)
+                wires[ws["hi_limbs"] + j, rows] = (hi >> sh) & np.uint64(3)
 
 
 class U32AddManyGate(Gate):
@@ -254,21 +262,26 @@ class U32AddManyGate(Gate):
 
             def fn(vals, row=row, ws=ws):
                 s = sum(vals)
-                lo, hi = s & 0xFFFFFFFF, s >> 32
-                out = [(Wire(row, ws["lo"]), lo), (Wire(row, ws["hi"]), hi)]
-                for j in range(_LIMBS):
-                    out.append((Wire(row, ws["lo_limbs"] + j), (lo >> (2 * j)) & 3))
-                for j in range(2):
-                    out.append((Wire(row, ws["hi_limbs"] + j), (hi >> (2 * j)) & 3))
-                return out
+                return [(Wire(row, ws["lo"]), s & 0xFFFFFFFF),
+                        (Wire(row, ws["hi"]), s >> 32)]
 
             deps = [Wire(row, ws["addends"] + j) for j in range(n)] + \
                    [Wire(row, ws["carry_in"])]
-            outs = [Wire(row, ws["lo"]), Wire(row, ws["hi"])] + \
-                   [Wire(row, ws["lo_limbs"] + j) for j in range(_LIMBS)] + \
-                   [Wire(row, ws["hi_limbs"] + j) for j in range(2)]
-            gens.append(LambdaGenerator(deps, fn, outs=outs))
+            gens.append(LambdaGenerator(
+                deps, fn, outs=[Wire(row, ws["lo"]), Wire(row, ws["hi"])]))
         return gens
+
+    def aux_fill(self, rows, wires):
+        for i in range(self.num_ops):
+            ws = self.wires_op(i)
+            lo = wires[ws["lo"], rows]
+            hi = wires[ws["hi"], rows]
+            for j in range(_LIMBS):
+                wires[ws["lo_limbs"] + j, rows] = \
+                    (lo >> np.uint64(2 * j)) & np.uint64(3)
+            for j in range(2):
+                wires[ws["hi_limbs"] + j, rows] = \
+                    (hi >> np.uint64(2 * j)) & np.uint64(3)
 
 
 class U32RangeCheckGate(Gate):
@@ -330,17 +343,14 @@ class U32RangeCheckGate(Gate):
         return out
 
     def generators(self, row, constants):
-        from ..ir.builder import Wire
-        gens = []
+        # Pure aux gate: every helper wire is derived from the routed input
+        # in the vectorized `aux_fill` pass; no dataflow generators needed.
+        return []
+
+    def aux_fill(self, rows, wires):
         for i in range(self.num_ops):
             ws = self.wires_op(i)
-
-            def fn(vals, row=row, ws=ws):
-                v = vals[0]
-                return [(Wire(row, ws["limbs"] + j), (v >> (2 * j)) & 3)
-                        for j in range(_LIMBS)]
-
-            gens.append(LambdaGenerator(
-                [Wire(row, ws["x"])], fn,
-                outs=[Wire(row, ws["limbs"] + j) for j in range(_LIMBS)]))
-        return gens
+            x = wires[ws["x"], rows]
+            for j in range(_LIMBS):
+                wires[ws["limbs"] + j, rows] = \
+                    (x >> np.uint64(2 * j)) & np.uint64(3)

@@ -388,7 +388,12 @@ class CircuitBuilder:
         """Evaluate, at extension target `z`, the interpolant of the
         extension targets `values` given on the coset shift*H with
         |H| = 2^subgroup_bits and values[i] at shift * g^i
-        (CosetInterpolationGate — the recursive FRI fold check)."""
+        (CosetInterpolationGate — the recursive FRI fold check).
+
+        PRECONDITION: `shift` must be nonzero — the gate's quotient-hint
+        constraint `2*s*g^i*w == a-b` is vacuous at s == 0.  FRI usage
+        derives shift as a power of the (nonzero) domain generator times
+        the coset shift, which satisfies this by construction."""
         from ..gates.coset_interpolation import CosetInterpolationGate
         gate = CosetInterpolationGate(subgroup_bits)
         assert len(values) == gate.n_points

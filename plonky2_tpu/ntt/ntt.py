@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,6 +113,35 @@ def lde_from_values(values, rate_bits: int, shift: int = COSET_SHIFT):
     return coeffs, coset_lde(coeffs, rate_bits, shift)
 
 
+# Jitted entry point: the eager per-op dispatch of `ntt` costs more than the
+# math on small hosts; one fused graph per (shape, rate) makes compile-time
+# commits (constants/sigmas oracle) and ad-hoc LDEs cheap.
+lde_from_values_jit = jax.jit(lde_from_values,
+                              static_argnames=("rate_bits", "shift"))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _eval_polys_kernel(coeffs, point_a, n: int):
+    from ..field import ext
+    # device power ladder of the extension point, log-doubling
+    pows = jnp.asarray([[1, 0]], dtype=gl.DTYPE)
+    cur = point_a
+    m = 1
+    while m < n:
+        take = min(m, n - m)
+        stepped = ext.mul(pows[:take], jnp.broadcast_to(cur, (take, 2)))
+        pows = jnp.concatenate([pows, stepped], axis=0)
+        cur = ext.mul(cur[None, :], cur[None, :])[0]
+        m *= 2
+    prod = ext.mul_base(pows[:n], coeffs)              # [..., n, 2]
+    while prod.shape[-2] > 1:
+        half = prod.shape[-2] // 2
+        rest = prod[..., 2 * half:, :]
+        folded = gl.add(prod[..., :half * 2:2, :], prod[..., 1:half * 2:2, :])
+        prod = jnp.concatenate([folded, rest], axis=-2)
+    return prod[..., 0, :]
+
+
 def eval_poly_ext_s(coeffs_host: list[int], point) -> tuple:
     """Horner-evaluate a base-field coefficient list at an extension point.
 
@@ -126,17 +156,10 @@ def eval_poly_ext_s(coeffs_host: list[int], point) -> tuple:
 def eval_polys_at_ext(coeffs, point):
     """Batch-evaluate base-field polys [..., n] at one extension point.
 
-    Returns [..., 2].  Device path: one mul against the precomputed power
-    ladder of `point`, then a log-tree modular reduction.
+    Returns [..., 2].  Device path (jitted): a log-doubling power ladder of
+    `point`, one broadcast mul, then a log-tree modular reduction.
     """
-    from ..field import ext
     n = coeffs.shape[-1]
-    pows = ext.powers_s(point, n)                      # [n, 2] host-computed
-    prod = ext.mul_base(pows, coeffs)                  # [..., n, 2]
-    # tree-reduce over axis -2
-    while prod.shape[-2] > 1:
-        half = prod.shape[-2] // 2
-        rest = prod[..., 2 * half:, :]
-        folded = gl.add(prod[..., :half * 2:2, :], prod[..., 1:half * 2:2, :])
-        prod = jnp.concatenate([folded, rest], axis=-2)
-    return prod[..., 0, :]
+    point_a = jnp.asarray([point[0], point[1]], dtype=gl.DTYPE) \
+        if isinstance(point, tuple) else point
+    return _eval_polys_kernel(coeffs, point_a, n)

@@ -102,6 +102,11 @@ def _selector_groups(gates, max_degree_factor: int) -> SelectorInfo:
                 placed = True
                 break
         if not placed:
+            # singleton group: filtered degree = gate_deg + 1 (unused factor)
+            assert gates[gi].degree + 1 <= max_degree_factor + 1, (
+                f"gate {gates[gi].key()} has degree {gates[gi].degree} > "
+                f"max_quotient_degree_factor {max_degree_factor}; honest "
+                f"proofs would fail verification")
             groups.append([gi])
     gate_group = {gi: g for g, grp in enumerate(groups) for gi in grp}
     return SelectorInfo(groups=groups, unused=len(gates), gate_group=gate_group)
@@ -176,8 +181,8 @@ def compile_circuit(builder) -> CircuitData:
     cs_vals = jnp.concatenate([jnp.asarray(sel_vals),
                                jnp.asarray(const_vals),
                                sigma_vals], axis=0)
-    cs_coeffs = intt(cs_vals)
-    cs_lde = coset_lde(cs_coeffs, fri_cfg.rate_bits)
+    from ..ntt import lde_from_values_jit
+    cs_coeffs, cs_lde = lde_from_values_jit(cs_vals, fri_cfg.rate_bits)
     cs_tree = MerkleTree.build(cs_lde.T, fri_cfg.cap_height)
 
     # ---- witness generators ----

@@ -264,6 +264,12 @@ def _prove_impl(pd, inputs: dict) -> Proof:
             wires_host[rep.column, rep.row] = v
         for w in pd.class_wires.get(rep, ()):
             wires_host[w.column, w.row] = v
+    with timed_span("witness aux fill (batched)"):
+        for gi, gate in enumerate(common.gates):
+            if hasattr(gate, "aux_fill"):
+                rows = pd.gate_rows.get(gi)
+                if rows:
+                    gate.aux_fill(np.asarray(rows, dtype=np.int64), wires_host)
     pi_values = [store.get(t) for t in pd.pi_targets]
     pi_hash = cfg.hasher_module().hash_no_pad_s(pi_values)
 

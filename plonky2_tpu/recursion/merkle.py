@@ -34,6 +34,10 @@ def verify_merkle_proof_to_cap_circuit(b, leaf_values: list, index_bits: list,
     if len(cap) == 1:
         entry = list(cap[0])
     else:
+        # path bits are forced boolean by the Poseidon swap wire; cap bits
+        # only pass through le_sum, so constrain them here (ADVICE r1)
+        for cb in cap_bits:
+            b.assert_bool(cb)
         idx = b.le_sum(cap_bits)
         entry = [b.random_access(idx, [c[i] for c in cap]) for i in range(4)]
     for s, e in zip(state, entry):

@@ -2,17 +2,21 @@
 
 The reference's witness pass is a queue of per-instance Rust closures
 (`SimpleGenerator::run_once`, SURVEY.md §3.2 step 1).  Here a generator is a
-host object with explicit `deps`; generation runs a worklist to a fixed
-point.  Values live per copy-equivalence class (the builder's DSU), so
-`connect`ed targets share storage automatically.
+host object with explicit `deps`; generation runs an O(edges) dataflow
+scheduler: each generator keeps an unmet-dependency counter, a per-target
+waiter index wakes generators as values land, and a FIFO drains ready work.
 
-TPU note: heavy hints (Poseidon rows, biguint div/mod, curve ops) are
-batched per generator *type* by the scheduler before execution where a
-batched kernel is registered — see `BatchableGenerator`.  Host fallback is
-always available and is what correctness tests exercise.
+TPU note: heavy *aux* hints (range-decomposition limbs, Poseidon round
+state) are not generated per instance at all — gates that implement
+`aux_fill(rows, wires)` get their non-routed helper wires filled in one
+vectorized numpy pass per gate type after the dataflow fixed point (see
+`prove/prover.py` phase 1).  Only routed dataflow values flow through the
+scheduler.
 """
 
 from __future__ import annotations
+
+from collections import deque
 
 from ..field import gl
 
@@ -30,6 +34,8 @@ class Generator:
 
 
 class LambdaGenerator(Generator):
+    __slots__ = ("deps", "outs", "fn")
+
     def __init__(self, deps, fn, outs=()):
         self.deps = deps
         self.outs = list(outs)
@@ -40,42 +46,85 @@ class LambdaGenerator(Generator):
 
 
 def generate_witness(prover_data, inputs: dict) -> "WitnessValues":
-    """inputs: {target: int}.  Returns the resolved witness store."""
-    store = WitnessValues(prover_data.rep_of)
-    for t, v in inputs.items():
-        store.set(t, int(v))
+    """inputs: {target: int}.  Returns the resolved witness store.
 
-    pending = list(prover_data.generators)
-    while pending:
-        progress = False
-        remaining = []
-        for g in pending:
-            if all(store.has(d) for d in g.deps):
-                for t, v in g.run(store.get):
-                    store.set(t, v)
-                progress = True
-            else:
-                remaining.append(g)
-        pending = remaining
-        if pending and not progress:
-            # A missing wire that no remaining generator can produce is an
-            # unused gate slot: it defaults to zero (plonky2 semantics —
-            # unset wires are zero in the full witness).  A wrong default
-            # surfaces as a loud value-conflict when a generator later
-            # assigns the same class.
-            producible = {store._rep_of(t) for g in pending for t in g.outs}
-            filled = False
-            for g in pending:
-                for d in g.deps:
-                    if not store.has(d) and store._rep_of(d) not in producible:
-                        store.set(d, 0)
-                        filled = True
-            if not filled:
-                missing = [d for g in pending for d in g.deps
-                           if not store.has(d)][:10]
-                raise RuntimeError(
-                    f"witness generation stalled: {len(pending)} generators "
-                    f"blocked; sample missing deps: {missing}")
+    O(V + E) dataflow scheduling: generators whose deps are all known sit in
+    a FIFO; setting a target's equivalence class wakes every generator
+    waiting on it.  The zero-default rule (unset wires that nothing pending
+    can produce are unused gate slots and default to 0 — plonky2 semantics)
+    is applied whenever the queue drains with generators still blocked.
+    """
+    store = WitnessValues(prover_data.rep_of)
+    rep_of = store._rep_of
+    vals = store._vals
+
+    gens = prover_data.generators
+    # unmet-dep counters + waiter index (by canonical representative)
+    unmet = [0] * len(gens)
+    waiters: dict = {}
+    ready = deque()
+    for gi, g in enumerate(gens):
+        n = 0
+        for d in g.deps:
+            r = rep_of(d)
+            if r not in vals:
+                # inputs are applied below; count all for now
+                waiters.setdefault(r, []).append(gi)
+                n += 1
+        unmet[gi] = n
+        if n == 0:
+            ready.append(gi)
+
+    def _set(t, v):
+        v = v % gl.P
+        r = rep_of(t)
+        old = vals.get(r)
+        if old is not None:
+            if old != v:
+                raise ValueError(
+                    f"conflicting witness value for {t}: {old} vs {v}")
+            return
+        vals[r] = v
+        for gi in waiters.pop(r, ()):
+            unmet[gi] -= 1
+            if unmet[gi] == 0:
+                ready.append(gi)
+
+    for t, v in inputs.items():
+        _set(t, int(v))
+
+    get = store.get
+    n_done = 0
+    n_total = len(gens)
+    while n_done < n_total:
+        while ready:
+            gi = ready.popleft()
+            if unmet[gi] < 0:
+                continue
+            unmet[gi] = -1          # mark executed
+            n_done += 1
+            for t, v in gens[gi].run(get):
+                _set(t, v)
+        if n_done == n_total:
+            break
+        # Queue drained with blocked generators: a missing wire that no
+        # remaining generator can produce is an unused gate slot and
+        # defaults to zero (plonky2 semantics — unset wires are zero in the
+        # full witness).  A wrong default surfaces as a loud value-conflict
+        # when a generator later assigns the same class.
+        producible = {rep_of(t) for gi, g in enumerate(gens)
+                      if unmet[gi] > 0 for t in g.outs}
+        filled = False
+        for r in list(waiters.keys()):
+            if r not in producible and r not in vals:
+                _set(r, 0)
+                filled = True
+        if not filled:
+            missing = [r for r in waiters if r not in vals][:10]
+            blocked = sum(1 for u in unmet if u > 0)
+            raise RuntimeError(
+                f"witness generation stalled: {blocked} generators "
+                f"blocked; sample missing deps: {missing}")
     return store
 
 
