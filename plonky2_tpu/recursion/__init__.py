@@ -18,3 +18,10 @@ zkaa/mod.rs).  This package provides the TPU-native equivalents:
 from .circuit_alg import CircuitAlg  # noqa: F401
 from .challenger import RecursiveChallenger  # noqa: F401
 from .merkle import verify_merkle_proof_to_cap_circuit  # noqa: F401
+from .verifier import (  # noqa: F401
+    ProofTarget,
+    add_virtual_proof_target,
+    add_proof_verification,
+    set_proof_witness,
+    verify_proof_circuit,
+)
