@@ -122,10 +122,20 @@ def _fold(values, beta_arr, shift: int, arity_bits: int):
 # Proof-of-work grind (device)
 # ------------------------------------------------------------------
 
-@jax.jit
-def _grind_kernel(base_state, cands, pos):
-    st = base_state.at[:, pos].set(cands)
-    return poseidon.permute(st)[:, poseidon.RATE - 1]
+@functools.partial(jax.jit, static_argnames=("batch", "pos"))
+def _grind_kernel(state_row, lo, threshold, batch: int, pos: int):
+    """state_row [12] -> (found: bool, first_hit_offset: i64).
+
+    Candidates are generated on device and only two scalars cross back to
+    the host — the tunneled-TPU-friendly formulation (shipping a
+    [batch, 12] base state or a hit mask costs seconds of transfer)."""
+    cands = lo + jnp.arange(batch, dtype=gl.DTYPE)
+    st = jnp.broadcast_to(state_row, (batch, poseidon.WIDTH))
+    st = st.at[:, pos].set(cands)
+    out = poseidon.permute(st)[:, poseidon.RATE - 1]
+    ok = out < threshold
+    hit = jnp.argmax(ok)
+    return ok[hit], hit
 
 
 def grind(challenger: Challenger, pow_bits: int, batch: int | None = None,
@@ -137,23 +147,18 @@ def grind(challenger: Challenger, pow_bits: int, batch: int | None = None,
         # ~16x the expected number of attempts, floor for vectorization
         batch = max(1 << 12, 16 << pow_bits)
     buf = challenger.input_buffer
-    state = challenger.sponge_state
+    state = list(challenger.sponge_state)
     assert len(buf) < poseidon.RATE
-    threshold = 1 << (64 - pow_bits)
-    base_state = np.zeros((batch, poseidon.WIDTH), dtype=np.uint64)
-    base_state[:] = np.array(state, dtype=np.uint64)
-    if buf:
-        base_state[:, : len(buf)] = np.array(buf, dtype=np.uint64)
+    state[: len(buf)] = buf
     pos = len(buf)
-    base_dev = jnp.asarray(base_state)
+    threshold = gl.U64(1 << (64 - pow_bits))
+    state_row = gl.to_u64(state)
     for chunk in range(max_batches):
-        lo = chunk * batch
-        cands = jnp.asarray(np.arange(lo, lo + batch, dtype=np.uint64))
-        out = _grind_kernel(base_dev, cands, pos)
-        ok = np.asarray(out < gl.U64(threshold))
-        hits = np.nonzero(ok)[0]
-        if hits.size:
-            return int(lo + hits[0])
+        lo = gl.U64(chunk * batch)
+        found, hit = jax.device_get(
+            _grind_kernel(state_row, lo, threshold, batch, pos))
+        if found:
+            return chunk * batch + int(hit)
     raise RuntimeError("PoW grind exhausted candidate space")
 
 
@@ -170,59 +175,74 @@ def fri_prove(values, degree_bits: int, config: FriConfig,
     N = values.shape[0]
     assert N == 1 << (degree_bits + config.rate_bits)
 
+    from ..utils import timed_span
+
     arities = config.reduction_arity_bits(degree_bits)
     cur = values
     cur_shift = shift
     layer_trees: list[MerkleTree] = []
     betas = []
-    for ab in arities:
-        a = 1 << ab
-        Nc = cur.shape[0]
-        leaves = cur.reshape(a, Nc // a, 2).transpose(1, 0, 2).reshape(Nc // a, 2 * a)
-        tree = MerkleTree.build(leaves, min(config.cap_height, (Nc // a).bit_length() - 1))
-        layer_trees.append(tree)
-        challenger.observe_cap(tree.cap_host())
-        beta = challenger.get_ext_challenge()
-        betas.append(beta)
-        cur = _fold(cur, gl.to_u64(list(beta)), cur_shift, ab)
-        cur_shift = pow(cur_shift, a, gl.P)
+    with timed_span("FRI commit/fold layers"):
+        for ab in arities:
+            a = 1 << ab
+            Nc = cur.shape[0]
+            leaves = cur.reshape(a, Nc // a, 2).transpose(1, 0, 2).reshape(Nc // a, 2 * a)
+            tree = MerkleTree.build(leaves, min(config.cap_height, (Nc // a).bit_length() - 1))
+            layer_trees.append(tree)
+            challenger.observe_cap(tree.cap_host())
+            beta = challenger.get_ext_challenge()
+            betas.append(beta)
+            cur = _fold(cur, gl.to_u64(list(beta)), cur_shift, ab)
+            cur_shift = pow(cur_shift, a, gl.P)
 
     # Final polynomial (coefficients in the clear).
-    Nf = cur.shape[0]
-    q_coeffs = _intt_ext(cur)                                   # coeffs of f(shift*y)
-    sinv_pows = jnp.asarray(host_powers(gl.inv_s(cur_shift), Nf))
-    f_coeffs = ext.mul_base(q_coeffs, sinv_pows)
-    final_len = 1 << (degree_bits - sum(arities))
-    fc_host = np.asarray(f_coeffs)
-    final_poly = [(int(fc_host[k, 0]), int(fc_host[k, 1])) for k in range(final_len)]
-    for c in final_poly:
-        challenger.observe_ext(c)
+    with timed_span("FRI final poly"):
+        Nf = cur.shape[0]
+        q_coeffs = _intt_ext(cur)                               # coeffs of f(shift*y)
+        sinv_pows = jnp.asarray(host_powers(gl.inv_s(cur_shift), Nf))
+        f_coeffs = ext.mul_base(q_coeffs, sinv_pows)
+        final_len = 1 << (degree_bits - sum(arities))
+        fc_host = np.asarray(f_coeffs)
+        final_poly = [(int(fc_host[k, 0]), int(fc_host[k, 1])) for k in range(final_len)]
+        for c in final_poly:
+            challenger.observe_ext(c)
 
     # Proof of work.
-    pow_witness = grind(challenger, config.proof_of_work_bits)
-    challenger.observe_element(pow_witness)
-    response = challenger.get_challenge()
-    assert response < (1 << (64 - config.proof_of_work_bits))
+    with timed_span("FRI PoW grind"):
+        pow_witness = grind(challenger, config.proof_of_work_bits)
+        challenger.observe_element(pow_witness)
+        response = challenger.get_challenge()
+        assert response < (1 << (64 - config.proof_of_work_bits))
 
-    # Query rounds.
-    query_indices = [challenger.get_challenge() % N
-                     for _ in range(config.num_query_rounds)]
-    query_rounds = []
-    for idx in query_indices:
-        initial = []
-        for t in initial_trees:
-            lv, sib = t.open(idx)
-            initial.append(FriInitialOpening(lv, sib))
-        steps = []
-        cur_N, cur_i = N, idx
+    # Query rounds: all openings of every tree are gathered on device in
+    # one batched take per tree (one host transfer each) — never
+    # materialize a full tree on the host.
+    with timed_span("FRI query openings (batched gather)"):
+        query_indices = [challenger.get_challenge() % N
+                         for _ in range(config.num_query_rounds)]
+        Q = len(query_indices)
+        idx_arr = np.asarray(query_indices, dtype=np.int64)
+        initial_data = [t.open_many(idx_arr) for t in initial_trees]
+        layer_data = []
+        cur_idx, cur_N = idx_arr, N
         for ab, tree in zip(arities, layer_trees):
+            rows = cur_N >> ab
+            j = cur_idx % rows
+            layer_data.append(tree.open_many(j))
+            cur_idx, cur_N = j, rows
+
+    query_rounds = []
+    for q in range(Q):
+        initial = [FriInitialOpening([int(x) for x in lv[q]],
+                                     [[int(x) for x in s] for s in sib[q]])
+                   for lv, sib in initial_data]
+        steps = []
+        for ab, (lv, sib) in zip(arities, layer_data):
             a = 1 << ab
-            rows = cur_N // a
-            j = cur_i % rows
-            lv, sib = tree.open(j)
-            evals = [(lv[2 * k], lv[2 * k + 1]) for k in range(a)]
-            steps.append(FriQueryStep(evals, sib))
-            cur_N, cur_i = rows, j
+            row = lv[q]
+            evals = [(int(row[2 * k]), int(row[2 * k + 1])) for k in range(a)]
+            steps.append(FriQueryStep(
+                evals, [[int(x) for x in s] for s in sib[q]]))
         query_rounds.append(FriQueryRound(initial, steps))
 
     return FriProof(

@@ -141,12 +141,7 @@ class PoseidonGate(Gate):
             x3 = gl.mul(gl.sqr(x), x)
             return gl.mul(gl.sqr(x3), x)
 
-        def mds(s):  # s [12, N]
-            prod = gl.mul(poseidon._MDS_DEV[:, :, None], s[None, :, :])
-            acc = prod[:, 0]
-            for j in range(1, W):
-                acc = gl.add(acc, prod[:, j])
-            return acc
+        mds = poseidon.mds_cols  # [12, N] -> [12, N], small-entry fast path
 
         s = jnp.concatenate([
             gl.add(ins[:4], delta),

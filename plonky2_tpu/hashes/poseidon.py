@@ -13,14 +13,19 @@ plonky2 `PlonkyPermutation` consumed by the reference
   /root/reference/src/smt/gadgets/common.rs:87-101).
 * `two_to_one(x, y)` = first 4 outputs of permute([x, y, 0, 0, 0, 0]).
 
-**Constants.**  The round constants / MDS matrix of the reference's plonky2
-*fork* are not recoverable in this offline environment (the fork is neither
-vendored nor fetchable, and no Rust toolchain exists here — see README).
-They are therefore *parameters*: this module generates a deterministic,
-structurally identical set (SHA-256 counter-mode round constants; Cauchy MDS,
-provably maximal-distance-separable).  Drop the fork's tables into
-`poseidon_constants.json` next to this file to get bit-exact parity; every
-downstream component (Merkle, transcript, FRI, gates) reads them from here.
+**Constants.**  The round constants of the reference's plonky2 *fork* are
+not recoverable in this offline environment (the fork is neither vendored
+nor fetchable, and no Rust toolchain exists here — see README).  They are
+therefore *parameters*: this module generates a deterministic SHA-256
+counter-mode set.  The MDS matrix uses plonky2's exact *structure* — the
+small-entry circulant MDS_MATRIX_CIRC/[0]-diagonal of its Goldilocks
+Poseidon (consumed at /root/reference/src/smt/goldilocks_poseidon/
+mod.rs:162-184) — so the parity delta is round-constants-only, and the
+small entries enable a fast MDS layer: per lane, 12 u32-half products
+accumulated exactly in u64 and reduced once (vs 144 full Goldilocks muls).
+Drop the fork's tables into `poseidon_constants.json` next to this file to
+get bit-exact parity; every downstream component (Merkle, transcript, FRI,
+gates) reads them from here.
 
 Two implementations, tested against each other:
 * scalar (Python ints) for the host transcript/verifier,
@@ -65,12 +70,15 @@ def _prg_field_elems(tag: str, n: int) -> list[int]:
     return out
 
 
-def _cauchy_mds(t: int) -> list[list[int]]:
-    """MDS matrix M[i][j] = 1 / (x_i + y_j) with x_i = i, y_j = t + j.
+# plonky2's Goldilocks-Poseidon MDS: row r of the matrix is the circulant
+# shift M[r][j] = CIRC[(j - r) mod 12], plus DIAG[r] on the diagonal.
+MDS_CIRC = [17, 15, 41, 16, 2, 28, 13, 13, 39, 18, 34, 20]
+MDS_DIAG = [8] + [0] * 11
 
-    All x_i + y_j are distinct-per-row/col and nonzero => Cauchy => MDS.
-    """
-    return [[gl.inv_s((i + t + j) % gl.P) for j in range(t)] for i in range(t)]
+
+def _circulant_mds() -> list[list[int]]:
+    return [[MDS_CIRC[(j - i) % WIDTH] + (MDS_DIAG[i] if i == j else 0)
+             for j in range(WIDTH)] for i in range(WIDTH)]
 
 
 def _load_constants():
@@ -85,13 +93,16 @@ def _load_constants():
         return rc, mds
     flat = _prg_field_elems("plonky2_tpu/poseidon/rc/v1", N_ROUNDS * WIDTH)
     rc = [flat[r * WIDTH:(r + 1) * WIDTH] for r in range(N_ROUNDS)]
-    return rc, _cauchy_mds(WIDTH)
+    return rc, _circulant_mds()
 
 
 ROUND_CONSTANTS, MDS = _load_constants()
 
 _RC_DEV = gl.to_u64(ROUND_CONSTANTS)        # [30, 12]
 _MDS_DEV = gl.to_u64(MDS)                   # [12, 12]
+# Fast MDS path requires sum_j M[i][j] * 2^32 to stay well under 2^64;
+# entries < 2^20 give a 2^56 bound on each accumulated column half.
+_MDS_SMALL = max(max(row) for row in MDS) < (1 << 20)
 
 
 # ------------------------------------------------------------------
@@ -139,12 +150,46 @@ def _sbox(x):
     return gl.mul(gl.sqr(x3), x)
 
 
+def _mds_reduce_small(acc_lo, acc_hi):
+    """Reduce acc_lo + acc_hi*2^32 (both < 2^56) mod p, to canonical form."""
+    hi1 = acc_hi >> gl._S32                       # < 2^24
+    hi0 = acc_hi & gl._M32
+    d = acc_lo + hi1 * gl._EPS                    # < 2^57: no wrap
+    t = d + (hi0 << gl._S32)                      # may wrap once
+    t = t + jnp.where(t < d, gl._EPS, gl._ZERO)   # wrapped => t small: no re-wrap
+    return jnp.where(t >= gl._P, t - gl._P, t)
+
+
 def _mds_layer(s):
-    # prod[..., i, j] = MDS[i][j] * s[..., j]; then mod-sum over j.
+    """MDS layer on lanes-last states [..., 12]."""
+    if _MDS_SMALL:
+        # Small-entry fast path: per output lane, 12 exact u64 products of
+        # each 32-bit input half, one reduction at the end.
+        s_lo = s & gl._M32
+        s_hi = s >> gl._S32
+        acc_lo = jnp.sum(s_lo[..., None, :] * _MDS_DEV, axis=-1)
+        acc_hi = jnp.sum(s_hi[..., None, :] * _MDS_DEV, axis=-1)
+        return _mds_reduce_small(acc_lo, acc_hi)
+    # generic path (injected large-entry MDS): full Goldilocks muls
     prod = gl.mul(s[..., None, :], _MDS_DEV)
     acc = prod[..., 0]
     for j in range(1, WIDTH):
         acc = gl.add(acc, prod[..., j])
+    return acc
+
+
+def mds_cols(s):
+    """MDS layer on lanes-first states [12, ...] (prover gate layout)."""
+    if _MDS_SMALL:
+        mds = _MDS_DEV.reshape((WIDTH, WIDTH) + (1,) * (s.ndim - 1))
+        s_lo = (s & gl._M32)[None]
+        s_hi = (s >> gl._S32)[None]
+        return _mds_reduce_small(jnp.sum(s_lo * mds, axis=1),
+                                 jnp.sum(s_hi * mds, axis=1))
+    prod = gl.mul(_MDS_DEV.reshape((WIDTH, WIDTH) + (1,) * (s.ndim - 1)), s[None])
+    acc = prod[:, 0]
+    for j in range(1, WIDTH):
+        acc = gl.add(acc, prod[:, j])
     return acc
 
 

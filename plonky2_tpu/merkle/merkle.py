@@ -87,7 +87,12 @@ class MerkleTree:
             self._host_leaves = np.asarray(self.leaves)
 
     def open(self, index: int):
-        """-> (leaf_values: list[int], siblings: list[4-elem digests])."""
+        """-> (leaf_values: list[int], siblings: list[4-elem digests]).
+
+        Host-side single opening; materializes the whole tree.  For the
+        prover's query phase use `open_many` (batched device gather, one
+        transfer) — full-tree materialization is a non-starter over a
+        tunneled TPU and at 2^16+ leaf counts."""
         self._materialize()
         leaf = [int(x) for x in self._host_leaves[index]]
         siblings = []
@@ -98,6 +103,29 @@ class MerkleTree:
             siblings.append(sib)
             idx >>= 1
         return leaf, siblings
+
+    def open_many(self, indices):
+        """Batched openings: [Q] indices -> (leaves [Q, C], sibs [Q, D, 4])
+        as host numpy arrays, via one jitted device gather + one transfer."""
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64))
+        out = _gather_openings(self.leaves, tuple(self.levels[:-1]), idx)
+        return jax.device_get(out)
+
+
+@jax.jit
+def _gather_openings(leaves, levels, idx):
+    lv = jnp.take(leaves, idx, axis=0)
+    sibs = []
+    cur = idx
+    for l in levels:
+        sibs.append(jnp.take(l, cur ^ 1, axis=0))
+        cur = cur >> 1
+    if sibs:
+        sib_arr = jnp.stack(sibs, axis=1)                  # [Q, D, 4]
+    else:
+        sib_arr = jnp.zeros((idx.shape[0], 0, poseidon.HASH_OUT),
+                            dtype=leaves.dtype)
+    return lv, sib_arr
 
 
 def verify_merkle_proof_s(leaf_values: list[int], index: int, cap: list[list[int]],

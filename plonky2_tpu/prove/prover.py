@@ -139,14 +139,51 @@ def _make_kernels(common):
                 pps.append(acc)
         return jnp.stack(zs + pps, axis=0)
 
-    def _gate_terms(wires_lde, sel_lde, const_lde, pi_hash_arr):
+    @jax.jit
+    def quotient_phase(wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde,
+                       x_lde, zh_inv, l1, k_arr, betas, gammas, alphas,
+                       pi_hash_arr, sinv_pows):
+        # Terms are alpha-folded on the fly instead of materialized: the
+        # slot-sum identity  sum_t a^t sum_g filt_g c_{g,t}
+        #                  = sum_g filt_g sum_t a^t c_{g,t}
+        # lets each gate's constraints stay fused intermediates (no
+        # max_constraints x [N] slot arrays), cutting the quotient phase's
+        # HBM traffic to O(wires + num_gate_types) passes.  The term order
+        # (all challenges' vanishing terms, then gate constraint slots)
+        # matches the verifier's fold exactly (verifier.py:70-117).
         from ..gates.base import BatchAlg, EvalVars
+        one = jnp.ones_like(x_lde)
+        vterms = []
+        for c in range(nc):
+            beta, gamma = betas[c], gammas[c]
+            z = zs_pp_lde[c]
+            z_next = jnp.roll(z, -(1 << rate))
+            pps = [zs_pp_lde[nc + c * (K - 1) + m] for m in range(K - 1)]
+            vterms.append(gl.mul(l1, gl.sub(z, one)))
+            accs = [z] + pps + [z_next]
+            num = gl.add(gl.add(wires_lde[:nr],
+                                gl.mul(gl.mul(beta, k_arr[:, None]),
+                                       x_lde[None, :])), gamma)
+            den = gl.add(gl.add(wires_lde[:nr], gl.mul(beta, sigma_lde)), gamma)
+            pn, pdn = _chunk_products(num, den)
+            for m in range(K):
+                vterms.append(gl.sub(gl.mul(accs[m + 1], pdn[m]),
+                                     gl.mul(accs[m], pn[m])))
+
+        T0 = len(vterms)
+        maxc = max((g.num_constraints for g in common.gates), default=0)
+        apows = [_power_ladder_base(alphas[c], T0 + maxc) for c in range(nc)]
+
+        chal_accs = []
+        for c in range(nc):
+            acc = jnp.zeros_like(x_lde)
+            for t, term in enumerate(vterms):
+                acc = gl.add(acc, gl.mul(term, apows[c][t]))
+            chal_accs.append(acc)
+
         sel_info = common.selector_info
         many = len(sel_info.groups) > 1
-        maxc = max((g.num_constraints for g in common.gates), default=0)
-        shape = wires_lde.shape[1:]
-        one = jnp.ones(shape, dtype=gl.DTYPE)
-        slots = [jnp.zeros(shape, dtype=gl.DTYPE) for _ in range(maxc)]
+        shape = x_lde.shape
         alg = BatchAlg(shape)
         pi_arrs = [jnp.broadcast_to(pi_hash_arr[i], shape) for i in range(4)]
         for gi, gate in enumerate(common.gates):
@@ -165,40 +202,17 @@ def _make_kernels(common):
                                  [const_lde[i] for i in range(const_lde.shape[0])],
                                  pi_arrs)
                 cs = gate.eval(vars_, alg)
-            for t_idx, cval in enumerate(cs):
-                slots[t_idx] = gl.add(slots[t_idx], gl.mul(filt, cval))
-        return slots
+            for c in range(nc):
+                gacc = None
+                for t_idx, cval in enumerate(cs):
+                    w = gl.mul(cval, apows[c][T0 + t_idx])
+                    gacc = w if gacc is None else gl.add(gacc, w)
+                if gacc is not None:
+                    chal_accs[c] = gl.add(chal_accs[c], gl.mul(filt, gacc))
 
-    @jax.jit
-    def quotient_phase(wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde,
-                       x_lde, zh_inv, l1, k_arr, betas, gammas, alphas,
-                       pi_hash_arr, sinv_pows):
-        one = jnp.ones_like(x_lde)
-        terms = []
-        for c in range(nc):
-            beta, gamma = betas[c], gammas[c]
-            z = zs_pp_lde[c]
-            z_next = jnp.roll(z, -(1 << rate))
-            pps = [zs_pp_lde[nc + c * (K - 1) + m] for m in range(K - 1)]
-            terms.append(gl.mul(l1, gl.sub(z, one)))
-            accs = [z] + pps + [z_next]
-            num = gl.add(gl.add(wires_lde[:nr],
-                                gl.mul(gl.mul(beta, k_arr[:, None]),
-                                       x_lde[None, :])), gamma)
-            den = gl.add(gl.add(wires_lde[:nr], gl.mul(beta, sigma_lde)), gamma)
-            pn, pdn = _chunk_products(num, den)
-            for m in range(K):
-                terms.append(gl.sub(gl.mul(accs[m + 1], pdn[m]),
-                                    gl.mul(accs[m], pn[m])))
-        terms.extend(_gate_terms(wires_lde, sel_lde, const_lde, pi_hash_arr))
-
-        stacked = jnp.stack(terms, axis=0)            # [T, N]
-        T = stacked.shape[0]
         q_polys = []
         for c in range(nc):
-            apow_arr = _power_ladder_base(alphas[c], T)
-            acc = gl.sum_mod(gl.mul(stacked, apow_arr[:, None]), axis=0)
-            tq = gl.mul(acc, zh_inv)
+            tq = gl.mul(chal_accs[c], zh_inv)
             q_coeffs = gl.mul(intt(tq), sinv_pows)
             q_polys.append(q_coeffs.reshape(1 << rate, n))
         q_polys = jnp.concatenate(q_polys, axis=0)
