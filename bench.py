@@ -1,14 +1,28 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.json): Goldilocks NTT elems/sec/chip, measured on the
-wire-commit shape of the 2^16-gate target circuit (135 polys x 2^16,
-iNTT + 8x coset LDE).  Secondary numbers (hash-chain prove wall time,
-Poseidon permutations/s) are printed to stderr for the record.
+Headline (BASELINE.json): Goldilocks NTT elems/sec/chip on the wire-commit
+LDE shape, plus — the flagship record — build + prove + verify wall times
+for the BASELINE.md benchmark configs, run end to end on the real chip:
+
+  1. Poseidon hash-chain circuit, degree 2^12
+  2. u32 add/mul/cmp + range-check circuit, degree 2^13
+  3. SMT process-proof chain (depth 32), degree 2^14
+  4. secp256k1 ECDSA-verify circuit (natural size)
+
+Per-config lines stream to stderr as they finish (so partial progress is
+recorded even if a run is cut short); the final JSON line carries the
+headline metric and a `proves` dict with every config's timings.
 
 `vs_baseline` is the ratio against the CPU number recorded in
 benchmarks/baseline_cpu.json (measured on this host via
 benchmarks/measure_cpu_baseline.py; the Rust reference publishes no
-numbers — BASELINE.md).
+numbers — BASELINE.md).  Prove times have no reference measurement to
+compare against (the Rust toolchain does not exist in this image); they
+are recorded as absolute walls.
+
+Env knobs:
+  PLONKY2_TPU_BENCH_CONFIGS  comma list among {1,2,3,4}; default "1,2,3,4"
+  PLONKY2_TPU_BENCH_SKIP_NTT set to 1 to skip the microbenches
 """
 
 import json
@@ -17,16 +31,12 @@ import sys
 import time
 
 
-def main():
+def _bench_ntt():
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from plonky2_tpu.field import gl
     from plonky2_tpu.ntt import coset_lde, intt
-
-    dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
 
     # 2^14 keeps first-process compile time bounded on the tunneled chip;
     # measured throughput matches 2^16 within 1% (both HBM-bound).
@@ -51,7 +61,7 @@ def main():
     elems = num_polys * (n + (n << rate))
     ntt_rate = elems / dt
     print(f"# lde_step: {dt*1e3:.1f} ms -> {ntt_rate/1e9:.3f} G NTT-elems/s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     # secondary: Poseidon permutation throughput (Merkle leaf shape)
     from plonky2_tpu.hashes import poseidon
@@ -64,12 +74,74 @@ def main():
         o = pj(states)
     o.block_until_ready()
     pdt = (time.perf_counter() - t0) / 3
-    print(f"# poseidon: {states.shape[0]/pdt/1e6:.2f} M perms/s", file=sys.stderr)
+    print(f"# poseidon: {states.shape[0]/pdt/1e6:.2f} M perms/s",
+          file=sys.stderr, flush=True)
+    return ntt_rate
+
+
+def _bench_config(build_fn, **kw):
+    t0 = time.perf_counter()
+    b, inputs, meta = build_fn(**kw)
+    trace_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    data = b.build()
+    build_s = time.perf_counter() - t0
+    rec = dict(meta)
+    rec.update(num_gates=b.num_gates(), degree_bits=data.common.degree_bits,
+               trace_s=round(trace_s, 2), build_s=round(build_s, 2))
+    t0 = time.perf_counter()
+    proof = data.prove(inputs)
+    rec["prove_cold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    proof = data.prove(inputs)
+    rec["prove_warm_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    data.verify(proof)
+    rec["verify_s"] = round(time.perf_counter() - t0, 2)
+    rec["proofs_per_sec"] = round(1.0 / rec["prove_warm_s"], 4)
+    print(f"# prove[{rec['name']}] 2^{rec['degree_bits']} "
+          f"({rec['num_gates']} gates): build {build_s:.1f}s, "
+          f"cold {rec['prove_cold_s']}s, warm {rec['prove_warm_s']}s, "
+          f"verify {rec['verify_s']}s", file=sys.stderr, flush=True)
+    return rec
+
+
+def main():
+    import jax
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr, flush=True)
+
+    ntt_rate = 0.0
+    if os.environ.get("PLONKY2_TPU_BENCH_SKIP_NTT") != "1":
+        ntt_rate = _bench_ntt()
+
+    from plonky2_tpu.bench import (build_ecdsa, build_poseidon_chain,
+                                   build_smt_process, build_u32_mix)
+    which = os.environ.get("PLONKY2_TPU_BENCH_CONFIGS", "1,2,3,4").split(",")
+    configs = {
+        "1": (build_poseidon_chain, {"degree_bits": 12}),
+        "2": (build_u32_mix, {"degree_bits": 13}),
+        "3": (build_smt_process, {"degree_bits": 14, "n_levels": 32}),
+        "4": (build_ecdsa, {"batch": 1}),
+    }
+    proves = {}
+    for k in which:
+        k = k.strip()
+        if k not in configs:
+            continue
+        fn, kw = configs[k]
+        try:
+            rec = _bench_config(fn, **kw)
+            proves[rec["name"]] = rec
+        except Exception as e:  # record the failure, keep going
+            print(f"# prove[config {k}] FAILED: {e!r}", file=sys.stderr,
+                  flush=True)
+            proves[f"config_{k}"] = {"error": repr(e)}
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_cpu.json")
     vs = 1.0
-    if os.path.exists(base_path):
+    if ntt_rate and os.path.exists(base_path):
         with open(base_path) as f:
             cpu = json.load(f)
         if cpu.get("ntt_elems_per_sec"):
@@ -80,6 +152,7 @@ def main():
         "value": round(ntt_rate, 1),
         "unit": "elems/s",
         "vs_baseline": round(vs, 3),
+        "proves": proves,
     }))
 
 

@@ -130,9 +130,9 @@ def _grind_kernel(state_row, lo, threshold, batch: int, pos: int):
     the host — the tunneled-TPU-friendly formulation (shipping a
     [batch, 12] base state or a hit mask costs seconds of transfer)."""
     cands = lo + jnp.arange(batch, dtype=gl.DTYPE)
-    st = jnp.broadcast_to(state_row, (batch, poseidon.WIDTH))
-    st = st.at[:, pos].set(cands)
-    out = poseidon.permute(st)[:, poseidon.RATE - 1]
+    st = jnp.broadcast_to(state_row[:, None], (poseidon.WIDTH, batch))
+    st = st.at[pos, :].set(cands)
+    out = poseidon.permute_cols(st)[poseidon.RATE - 1]
     ok = out < threshold
     hit = jnp.argmax(ok)
     return ok[hit], hit
@@ -186,8 +186,10 @@ def fri_prove(values, degree_bits: int, config: FriConfig,
         for ab in arities:
             a = 1 << ab
             Nc = cur.shape[0]
-            leaves = cur.reshape(a, Nc // a, 2).transpose(1, 0, 2).reshape(Nc // a, 2 * a)
-            tree = MerkleTree.build(leaves, min(config.cap_height, (Nc // a).bit_length() - 1))
+            # leaf j = the arity coset {j + k*rows}, flattened (c0, c1) pairs;
+            # column layout [2a, rows] feeds build_cols without a transpose
+            leaves_cols = cur.reshape(a, Nc // a, 2).transpose(0, 2, 1).reshape(2 * a, Nc // a)
+            tree = MerkleTree.build_cols(leaves_cols, min(config.cap_height, (Nc // a).bit_length() - 1))
             layer_trees.append(tree)
             challenger.observe_cap(tree.cap_host())
             beta = challenger.get_ext_challenge()

@@ -213,6 +213,30 @@ def permute(states):
     return s
 
 
+def permute_cols(s):
+    """Poseidon permutation in lanes-first layout: s [12, B] -> [12, B].
+
+    TPU layout note: with the batch on the *minor* axis every elementwise
+    op runs at full 128-lane VPU width; the [B, 12] layout leaves 116 of
+    128 lanes idle per tile.  This is the prover-side hot variant (Merkle
+    leaf hashing, PoW grind)."""
+    r = 0
+    for _ in range(FULL_ROUNDS // 2):
+        s = gl.add(s, _RC_DEV[r][:, None])
+        s = mds_cols(_sbox(s))
+        r += 1
+    for _ in range(PARTIAL_ROUNDS):
+        s = gl.add(s, _RC_DEV[r][:, None])
+        s = jnp.concatenate([_sbox(s[:1]), s[1:]], axis=0)
+        s = mds_cols(s)
+        r += 1
+    for _ in range(FULL_ROUNDS // 2):
+        s = gl.add(s, _RC_DEV[r][:, None])
+        s = mds_cols(_sbox(s))
+        r += 1
+    return s
+
+
 # ------------------------------------------------------------------
 # Sponge — scalar
 # ------------------------------------------------------------------
@@ -318,3 +342,56 @@ def hash_or_noop(inputs):
         pad = jnp.zeros((*inputs.shape[:-1], HASH_OUT - L), dtype=gl.DTYPE)
         return jnp.concatenate([inputs, pad], axis=-1)
     return hash_no_pad(inputs)
+
+
+# ------------------------------------------------------------------
+# Sponge — lanes-first ("cols") layout: [C, B] inputs, [4, B] digests.
+# The layout the prover uses for Merkle commits: polynomial oracles are
+# already [num_polys, N], so leaf hashing needs no transpose and every op
+# is full-VPU-width (see permute_cols).
+# ------------------------------------------------------------------
+
+def hash_no_pad_cols(inputs, num_outputs: int = HASH_OUT):
+    """inputs [L, B] -> [num_outputs, B].
+
+    Full-rate chunks absorb under one lax.scan (the permutation is traced
+    once however wide the oracle — keeps compile time flat), the final
+    partial chunk absorbs explicitly."""
+    import jax
+
+    L, B = inputs.shape
+    full = L // RATE
+    rem = L - full * RATE
+    state = jnp.zeros((WIDTH, B), dtype=gl.DTYPE)
+    if full:
+        chunks = inputs[:full * RATE].reshape(full, RATE, B)
+
+        def step(st, chunk):
+            st = jnp.concatenate([chunk, st[RATE:]], axis=0)
+            return permute_cols(st), None
+
+        state, _ = jax.lax.scan(step, state, chunks)
+    if rem:
+        state = jnp.concatenate([inputs[full * RATE:], state[rem:]], axis=0)
+        state = permute_cols(state)
+    outs = [state[:RATE]]
+    have = RATE
+    while have < num_outputs:
+        state = permute_cols(state)
+        outs.append(state[:RATE])
+        have += RATE
+    return jnp.concatenate(outs, axis=0)[:num_outputs]
+
+
+def two_to_one_cols(x, y):
+    """x, y [4, B] -> [4, B]."""
+    z = jnp.zeros((WIDTH - 2 * HASH_OUT, x.shape[1]), dtype=gl.DTYPE)
+    return permute_cols(jnp.concatenate([x, y, z], axis=0))[:HASH_OUT]
+
+
+def hash_or_noop_cols(inputs):
+    L = inputs.shape[0]
+    if L <= HASH_OUT:
+        pad = jnp.zeros((HASH_OUT - L, inputs.shape[1]), dtype=gl.DTYPE)
+        return jnp.concatenate([inputs, pad], axis=0)
+    return hash_no_pad_cols(inputs)

@@ -1,9 +1,13 @@
 """Cap-rooted Merkle commitments over Poseidon.
 
-Device-first: leaf hashing is one batched sponge over [L, num_cols] and each
-internal level is one batched two_to_one over [L/2^k, 2, 4] — layer-parallel,
-exactly the reduction the TPU VPU wants.  Proof extraction and verification
-are host-side scalar paths (verifier-sized work).
+Device-first, lanes-first: leaves live as a [C, L] *column* matrix (the
+layout polynomial oracles already have — [num_polys, N] — so committing an
+LDE needs no transpose), leaf hashing is one scanned sponge over columns,
+and each internal level is one batched two_to_one over [4, L/2^k] digests.
+With the batch on the minor axis every op runs at full 128-lane VPU width
+(see hashes/poseidon.py `permute_cols`).  Proof extraction is a batched
+device gather (`open_many`); verification is a host-side scalar path
+(verifier-sized work).
 
 Mirrors plonky2's MerkleTree/MerkleCap semantics consumed by the reference
 (Merkle caps in proofs, SURVEY.md §2.2): a tree is truncated at
@@ -30,22 +34,22 @@ from ..hashes import poseidon
 # Per-shape jitted primitives: a tree of L leaves touches log2(L) distinct
 # level shapes; each compiles once (persistent cache) and the graphs stay
 # small (one permutation each) instead of one giant unrolled tree graph.
-_hash_leaves = jax.jit(poseidon.hash_or_noop)
-_compress = jax.jit(
-    lambda cur: poseidon.two_to_one(cur[:, 0, :], cur[:, 1, :]))
+_hash_leaves_cols = jax.jit(poseidon.hash_or_noop_cols)
+_compress_cols = jax.jit(
+    lambda cur: poseidon.two_to_one_cols(cur[:, 0::2], cur[:, 1::2]))
 
 
-def _merkle_levels(leaves, cap_height: int):
-    levels = [_hash_leaves(leaves)]
-    while levels[-1].shape[0] > (1 << cap_height):
-        levels.append(_compress(levels[-1].reshape(-1, 2, poseidon.HASH_OUT)))
-    return tuple(levels)
+def _merkle_levels(leaves_cols, cap_height: int):
+    levels = [_hash_leaves_cols(leaves_cols)]
+    while levels[-1].shape[1] > (1 << cap_height):
+        levels.append(_compress_cols(levels[-1]))
+    return levels
 
 
 @dataclass
 class MerkleTree:
-    """leaves: [L, C] u64 device array; levels[0] = leaf hashes [L, 4] ...
-    levels[-1] = cap [2^cap_height, 4]."""
+    """leaves: [C, L] u64 device array (column layout); levels[0] = leaf
+    hashes [4, L] ... levels[-1] = cap [4, 2^cap_height]."""
 
     leaves: jnp.ndarray
     cap_height: int
@@ -54,8 +58,9 @@ class MerkleTree:
     _host_leaves: np.ndarray | None = None
 
     @staticmethod
-    def build(leaves, cap_height: int) -> "MerkleTree":
-        L, C = leaves.shape
+    def build_cols(leaves_cols, cap_height: int) -> "MerkleTree":
+        """leaves_cols: [C, L] — one leaf per column."""
+        C, L = leaves_cols.shape
         assert L & (L - 1) == 0, "leaf count must be a power of 2"
         assert (1 << cap_height) <= L
         # Pad columns to the sponge rate so circuits with similar oracle
@@ -63,15 +68,22 @@ class MerkleTree:
         # the Merkle commitment and ignored by every consumer.
         if C > poseidon.HASH_OUT and C % poseidon.RATE:
             pad = poseidon.RATE - C % poseidon.RATE
-            leaves = jnp.concatenate(
-                [leaves, jnp.zeros((L, pad), dtype=leaves.dtype)], axis=1)
-        levels = list(_merkle_levels(leaves, cap_height))
-        return MerkleTree(leaves=leaves, cap_height=cap_height, levels=levels)
+            leaves_cols = jnp.concatenate(
+                [leaves_cols, jnp.zeros((pad, L), dtype=leaves_cols.dtype)],
+                axis=0)
+        levels = _merkle_levels(leaves_cols, cap_height)
+        return MerkleTree(leaves=leaves_cols, cap_height=cap_height,
+                          levels=levels)
+
+    @staticmethod
+    def build(leaves, cap_height: int) -> "MerkleTree":
+        """leaves: [L, C] — one leaf per row (row-layout convenience)."""
+        return MerkleTree.build_cols(leaves.T, cap_height)
 
     @property
     def cap(self):
         """Device cap array [2^cap_height, 4]."""
-        return self.levels[-1]
+        return self.levels[-1].T
 
     _cap_host_cache: list | None = None
 
@@ -91,15 +103,14 @@ class MerkleTree:
 
         Host-side single opening; materializes the whole tree.  For the
         prover's query phase use `open_many` (batched device gather, one
-        transfer) — full-tree materialization is a non-starter over a
-        tunneled TPU and at 2^16+ leaf counts."""
+        transfer)."""
         self._materialize()
-        leaf = [int(x) for x in self._host_leaves[index]]
+        leaf = [int(x) for x in self._host_leaves[:, index]]
         siblings = []
         idx = index
         # levels[-1] is the cap: stop before it.
         for lvl in self._host_levels[:-1]:
-            sib = [int(x) for x in lvl[idx ^ 1]]
+            sib = [int(x) for x in lvl[:, idx ^ 1]]
             siblings.append(sib)
             idx >>= 1
         return leaf, siblings
@@ -113,18 +124,18 @@ class MerkleTree:
 
 
 @jax.jit
-def _gather_openings(leaves, levels, idx):
-    lv = jnp.take(leaves, idx, axis=0)
+def _gather_openings(leaves_cols, levels, idx):
+    lv = jnp.take(leaves_cols, idx, axis=1).T                  # [Q, C]
     sibs = []
     cur = idx
     for l in levels:
-        sibs.append(jnp.take(l, cur ^ 1, axis=0))
+        sibs.append(jnp.take(l, cur ^ 1, axis=1).T)            # [Q, 4]
         cur = cur >> 1
     if sibs:
-        sib_arr = jnp.stack(sibs, axis=1)                  # [Q, D, 4]
+        sib_arr = jnp.stack(sibs, axis=1)                      # [Q, D, 4]
     else:
         sib_arr = jnp.zeros((idx.shape[0], 0, poseidon.HASH_OUT),
-                            dtype=leaves.dtype)
+                            dtype=leaves_cols.dtype)
     return lv, sib_arr
 
 

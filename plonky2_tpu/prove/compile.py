@@ -78,9 +78,11 @@ class CircuitData:
     def common(self):
         return self.prover.common
 
-    def prove(self, inputs: dict):
+    def prove(self, inputs: dict, mesh=None):
+        """Prove; with `mesh` (jax.sharding.Mesh, axis "d") every device
+        phase runs SPMD-sharded over it (see prover._MeshPlacer)."""
         from .prover import prove
-        return prove(self.prover, inputs)
+        return prove(self.prover, inputs, mesh)
 
     def verify(self, proof):
         from .verifier import verify
@@ -113,6 +115,13 @@ def _selector_groups(gates, max_degree_factor: int) -> SelectorInfo:
 
 
 def compile_circuit(builder) -> CircuitData:
+    from ..utils import timed_span
+    with timed_span(f"build ({len(builder.gate_instances)} gate rows)"):
+        return _compile_impl(builder)
+
+
+def _compile_impl(builder) -> CircuitData:
+    from ..utils import timed_span
     config = builder.config
     fri_cfg = config.fri
 
@@ -151,6 +160,7 @@ def compile_circuit(builder) -> CircuitData:
 
     # ---- sigma polynomials from the copy-constraint forest ----
     from ..ir.builder import Wire
+    _sigma_span = timed_span("sigma construction (copy classes)"); _sigma_span.__enter__()
 
     nr = config.num_routed_wires
     k_is = [pow(gl.GENERATOR, i, gl.P) for i in range(nr)]
@@ -177,18 +187,23 @@ def compile_circuit(builder) -> CircuitData:
     sigma_vals = jnp.take(labels.reshape(-1), jnp.asarray(perm.reshape(-1)),
                           axis=0).reshape(nr, n)
 
+    _sigma_span.__exit__(None, None, None)
     # ---- commit constants_sigmas oracle: [selectors | constants | sigmas] ----
     cs_vals = jnp.concatenate([jnp.asarray(sel_vals),
                                jnp.asarray(const_vals),
                                sigma_vals], axis=0)
     from ..ntt import lde_from_values_jit
-    cs_coeffs, cs_lde = lde_from_values_jit(cs_vals, fri_cfg.rate_bits)
-    cs_tree = MerkleTree.build(cs_lde.T, fri_cfg.cap_height)
+    with timed_span("constants/sigmas LDE + Merkle commit"):
+        cs_coeffs, cs_lde = lde_from_values_jit(cs_vals, fri_cfg.rate_bits)
+        cs_tree = MerkleTree.build_cols(cs_lde, fri_cfg.cap_height)
+        cs_tree.cap_host()
 
     # ---- witness generators ----
+    _gen_span = timed_span("generator schedule"); _gen_span.__enter__()
     generators = list(builder.custom_generators)
     for r, (g, consts) in enumerate(instances):
         generators.extend(g.generators(r, consts))
+    _gen_span.__exit__(None, None, None)
     # public-input hash generator: fills the PI gate wires
     from ..ir.builder import Wire
     pi_targets = list(builder.public_inputs)

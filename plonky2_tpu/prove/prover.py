@@ -140,9 +140,11 @@ def _make_kernels(common):
         return jnp.stack(zs + pps, axis=0)
 
     @jax.jit
-    def quotient_phase(wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde,
-                       x_lde, zh_inv, l1, k_arr, betas, gammas, alphas,
-                       pi_hash_arr, sinv_pows):
+    def quotient_chunk(wires_c, sel_c, const_c, sigma_c, zs_c, zs_next_c,
+                       x_c, zh_inv_c, l1_c, k_arr, betas, gammas, alphas,
+                       pi_hash_arr):
+        # One domain chunk [*, M] -> [nc, M] quotient values.
+        #
         # Terms are alpha-folded on the fly instead of materialized: the
         # slot-sum identity  sum_t a^t sum_g filt_g c_{g,t}
         #                  = sum_g filt_g sum_t a^t c_{g,t}
@@ -151,20 +153,24 @@ def _make_kernels(common):
         # HBM traffic to O(wires + num_gate_types) passes.  The term order
         # (all challenges' vanishing terms, then gate constraint slots)
         # matches the verifier's fold exactly (verifier.py:70-117).
+        #
+        # Chunking bounds live-tensor footprint at any circuit size and
+        # keeps the compiled kernel size independent of the domain (the
+        # same executable runs N/M times).
         from ..gates.base import BatchAlg, EvalVars
-        one = jnp.ones_like(x_lde)
+        one = jnp.ones_like(x_c)
         vterms = []
         for c in range(nc):
             beta, gamma = betas[c], gammas[c]
-            z = zs_pp_lde[c]
-            z_next = jnp.roll(z, -(1 << rate))
-            pps = [zs_pp_lde[nc + c * (K - 1) + m] for m in range(K - 1)]
-            vterms.append(gl.mul(l1, gl.sub(z, one)))
+            z = zs_c[c]
+            z_next = zs_next_c[c]
+            pps = [zs_c[nc + c * (K - 1) + m] for m in range(K - 1)]
+            vterms.append(gl.mul(l1_c, gl.sub(z, one)))
             accs = [z] + pps + [z_next]
-            num = gl.add(gl.add(wires_lde[:nr],
+            num = gl.add(gl.add(wires_c[:nr],
                                 gl.mul(gl.mul(beta, k_arr[:, None]),
-                                       x_lde[None, :])), gamma)
-            den = gl.add(gl.add(wires_lde[:nr], gl.mul(beta, sigma_lde)), gamma)
+                                       x_c[None, :])), gamma)
+            den = gl.add(gl.add(wires_c[:nr], gl.mul(beta, sigma_c)), gamma)
             pn, pdn = _chunk_products(num, den)
             for m in range(K):
                 vterms.append(gl.sub(gl.mul(accs[m + 1], pdn[m]),
@@ -176,19 +182,19 @@ def _make_kernels(common):
 
         chal_accs = []
         for c in range(nc):
-            acc = jnp.zeros_like(x_lde)
+            acc = jnp.zeros_like(x_c)
             for t, term in enumerate(vterms):
                 acc = gl.add(acc, gl.mul(term, apows[c][t]))
             chal_accs.append(acc)
 
         sel_info = common.selector_info
         many = len(sel_info.groups) > 1
-        shape = x_lde.shape
+        shape = x_c.shape
         alg = BatchAlg(shape)
         pi_arrs = [jnp.broadcast_to(pi_hash_arr[i], shape) for i in range(4)]
         for gi, gate in enumerate(common.gates):
             grp_idx = sel_info.gate_group[gi]
-            s = sel_lde[grp_idx]
+            s = sel_c[grp_idx]
             filt = one
             for other in sel_info.groups[grp_idx]:
                 if other != gi:
@@ -196,10 +202,10 @@ def _make_kernels(common):
             if many:
                 filt = gl.mul(filt, gl.sub(jnp.full(shape, gl.U64(sel_info.unused)), s))
             if hasattr(gate, "eval_batch_fast"):
-                cs = list(gate.eval_batch_fast(wires_lde, const_lde, pi_arrs))
+                cs = list(gate.eval_batch_fast(wires_c, const_c, pi_arrs))
             else:
-                vars_ = EvalVars([wires_lde[i] for i in range(gate.num_wires)],
-                                 [const_lde[i] for i in range(const_lde.shape[0])],
+                vars_ = EvalVars([wires_c[i] for i in range(gate.num_wires)],
+                                 [const_c[i] for i in range(const_c.shape[0])],
                                  pi_arrs)
                 cs = gate.eval(vars_, alg)
             for c in range(nc):
@@ -210,14 +216,45 @@ def _make_kernels(common):
                 if gacc is not None:
                     chal_accs[c] = gl.add(chal_accs[c], gl.mul(filt, gacc))
 
-        q_polys = []
-        for c in range(nc):
-            tq = gl.mul(chal_accs[c], zh_inv)
-            q_coeffs = gl.mul(intt(tq), sinv_pows)
-            q_polys.append(q_coeffs.reshape(1 << rate, n))
-        q_polys = jnp.concatenate(q_polys, axis=0)
-        q_lde = coset_lde(q_polys, rate)
-        return q_polys, q_lde
+        return jnp.stack([gl.mul(a, zh_inv_c) for a in chal_accs], axis=0)
+
+    @jax.jit
+    def zs_next_roll(zs_pp_lde):
+        return jnp.roll(zs_pp_lde[:nc], -(1 << rate), axis=-1)
+
+    @jax.jit
+    def quotient_finish(tq, sinv_pows):
+        # tq [nc, N] -> (q_polys [nc<<rate, n], q_lde [nc<<rate, N])
+        q_coeffs = gl.mul(intt(tq), sinv_pows)
+        q_polys = q_coeffs.reshape(nc << rate, n)
+        return q_polys, coset_lde(q_polys, rate)
+
+    # Chunk the 8n domain so per-call live tensors stay ~flat (≈2^18 rows)
+    # while small circuits still run in one call.  Mesh-sharded proves run
+    # a single chunk: SPMD already divides the live footprint by the device
+    # count, and slicing a domain-sharded axis would serialize the shards.
+    M = min(N, 1 << 18)
+
+    def quotient_phase(wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde,
+                       x_lde, zh_inv, l1, k_arr, betas, gammas, alphas,
+                       pi_hash_arr, sinv_pows, single_chunk=False,
+                       replicate=None):
+        zs_next = zs_next_roll(zs_pp_lde)
+        step = N if single_chunk else M
+        outs = []
+        for s0 in range(0, N, step):
+            sl = slice(s0, s0 + step)
+            outs.append(quotient_chunk(
+                wires_lde[:, sl], sel_lde[:, sl], const_lde[:, sl],
+                sigma_lde[:, sl], zs_pp_lde[:, sl], zs_next[:, sl],
+                x_lde[sl], zh_inv[sl], l1[sl], k_arr, betas, gammas,
+                alphas, pi_hash_arr))
+        tq = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        if replicate is not None:
+            # nc (=2) polys can't poly-shard: replicate the small [nc, N]
+            # array so the iNTT runs local instead of per-stage collective
+            tq = replicate(tq)
+        return quotient_finish(tq, sinv_pows)
 
     @jax.jit
     def composite(batch0_lde, zs_lde, fri_alpha_a, zeta_a, zeta_next_a,
@@ -250,13 +287,69 @@ def _make_kernels(common):
 # main
 # ------------------------------------------------------------------
 
-def prove(pd, inputs: dict) -> Proof:
+class _MeshPlacer:
+    """Sharding placements for mesh-parallel proving (SURVEY.md §7.7).
+
+    Two layouts, one all-to-all between them (XLA inserts it from the
+    shardings): *poly-sharded* [num_polys/d, n] for iNTT/LDE (transforms
+    are along the unsharded last axis, so fully local), *domain-sharded*
+    [..., N/d] for Merkle leaf hashing, Z/quotient evaluation and FRI
+    (elementwise across domain points, so fully local).  All math is exact
+    integer arithmetic — the proof is bit-identical for any device count.
+    """
+
+    def __init__(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec
+        self.mesh = mesh
+        self.d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self.poly = NamedSharding(mesh, PartitionSpec("d"))
+        self.repl = NamedSharding(mesh, PartitionSpec())
+
+    def polys(self, arr):
+        """Shard axis 0 (polynomials), zero-padding to the device count.
+        Callers slice the pad off with `unpad` after the transform."""
+        arr = jnp.asarray(arr)
+        pad = (-arr.shape[0]) % self.d
+        if pad:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+        return jax.device_put(arr, self.poly)
+
+    def unpad(self, arr, p: int):
+        return arr if arr.shape[0] == p else arr[:p]
+
+    def rows(self, arr):
+        """Shard the last axis (domain points / leaf columns)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec(*([None] * (arr.ndim - 1) + ["d"]))
+        return jax.device_put(jnp.asarray(arr),
+                              NamedSharding(self.mesh, spec))
+
+    def replicate(self, arr):
+        return jax.device_put(jnp.asarray(arr), self.repl)
+
+
+class _NullPlacer:
+    def polys(self, arr):
+        return jnp.asarray(arr)
+
+    def unpad(self, arr, p: int):
+        return arr
+
+    def rows(self, arr):
+        return jnp.asarray(arr)
+
+    def replicate(self, arr):
+        return jnp.asarray(arr)
+
+
+def prove(pd, inputs: dict, mesh=None) -> Proof:
     from ..utils import timed_span
     with timed_span(f"prove (2^{pd.common.degree_bits} rows)"):
-        return _prove_impl(pd, inputs)
+        return _prove_impl(pd, inputs, mesh)
 
 
-def _prove_impl(pd, inputs: dict) -> Proof:
+def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     common = pd.common
     cfg = common.config
     fri_cfg = cfg.fri
@@ -266,18 +359,20 @@ def _prove_impl(pd, inputs: dict) -> Proof:
     nc = cfg.num_challenges
     nr = cfg.num_routed_wires
     kernels = get_kernels(pd)
+    pl = _MeshPlacer(mesh) if mesh is not None else _NullPlacer()
 
     # ---- 1. witness ----
     from ..utils import timed_span
     with timed_span("witness generation"):
         store = generate_witness(pd, inputs)
     from ..ir.builder import Wire
-    wires_host = np.zeros((cfg.num_wires, n), dtype=np.uint64)
-    for rep, v in store._vals.items():
-        if isinstance(rep, Wire):
-            wires_host[rep.column, rep.row] = v
-        for w in pd.class_wires.get(rep, ()):
-            wires_host[w.column, w.row] = v
+    with timed_span("witness scatter to wire matrix"):
+        wires_host = np.zeros((cfg.num_wires, n), dtype=np.uint64)
+        for rep, v in store._vals.items():
+            if isinstance(rep, Wire):
+                wires_host[rep.column, rep.row] = v
+            for w in pd.class_wires.get(rep, ()):
+                wires_host[w.column, w.row] = v
     with timed_span("witness aux fill (batched)"):
         for gi, gate in enumerate(common.gates):
             if hasattr(gate, "aux_fill"):
@@ -289,8 +384,12 @@ def _prove_impl(pd, inputs: dict) -> Proof:
 
     # ---- 2. commit wires ----
     with timed_span("wire LDE + Merkle commit"):
-        wires_coeffs, wires_lde = _lde_commit(jnp.asarray(wires_host), rate)
-        wires_tree = MerkleTree.build(wires_lde.T, fri_cfg.cap_height)
+        # poly-sharded transform, then one all-to-all into the
+        # domain-sharded layout every later phase uses
+        wires_coeffs, wires_lde = _lde_commit(pl.polys(wires_host), rate)
+        wires_coeffs = pl.unpad(wires_coeffs, cfg.num_wires)
+        wires_lde = pl.rows(pl.unpad(wires_lde, cfg.num_wires))
+        wires_tree = MerkleTree.build_cols(wires_lde, fri_cfg.cap_height)
         wires_tree.cap_host()
 
     ch = Challenger()
@@ -306,38 +405,44 @@ def _prove_impl(pd, inputs: dict) -> Proof:
     k_arr = gl.to_u64(common.k_is)
     with timed_span("permutation Z polys + commit"):
         zs_pp_vals = kernels["z_phase"](
-            jnp.asarray(wires_host[:nr]), pd.sigma_polys, k_arr, g_pows,
-            gl.to_u64(betas), gl.to_u64(gammas))
-        zs_pp_coeffs, zs_pp_lde = _lde_commit(zs_pp_vals, rate)
-        zs_tree = MerkleTree.build(zs_pp_lde.T, fri_cfg.cap_height)
+            pl.rows(wires_host[:nr]), pl.rows(pd.sigma_polys), k_arr,
+            pl.rows(g_pows), gl.to_u64(betas), gl.to_u64(gammas))
+        n_zspp = zs_pp_vals.shape[0]
+        zs_pp_coeffs, zs_pp_lde = _lde_commit(pl.polys(zs_pp_vals), rate)
+        zs_pp_coeffs = pl.unpad(zs_pp_coeffs, n_zspp)
+        zs_pp_lde = pl.rows(pl.unpad(zs_pp_lde, n_zspp))
+        zs_tree = MerkleTree.build_cols(zs_pp_lde, fri_cfg.cap_height)
         zs_tree.cap_host()
     ch.observe_cap(zs_tree.cap_host())
     alphas = ch.get_n_challenges(nc)
 
     # ---- 4. quotient ----
     sel_count = len(common.selector_info.groups)
-    sel_lde = pd.cs_lde[:sel_count]
-    const_lde = pd.cs_lde[sel_count:sel_count + common.num_constants_polys]
-    sigma_lde = pd.cs_lde[sel_count + common.num_constants_polys:]
+    cs_lde = pl.rows(pd.cs_lde)
+    sel_lde = cs_lde[:sel_count]
+    const_lde = cs_lde[sel_count:sel_count + common.num_constants_polys]
+    sigma_lde = cs_lde[sel_count + common.num_constants_polys:]
 
-    x_lde = gl.mul(jnp.asarray(host_powers(
+    x_lde = pl.rows(gl.mul(jnp.asarray(host_powers(
         gl.primitive_root_of_unity(common.degree_bits + rate), N)),
-        gl.U64(COSET_SHIFT))
+        gl.U64(COSET_SHIFT)))
     shift_n = pow(COSET_SHIFT, n, gl.P)
     w8 = gl.primitive_root_of_unity(rate)
     zh_vals = [(shift_n * pow(w8, j, gl.P) - 1) % gl.P for j in range(1 << rate)]
     zh = jnp.tile(gl.to_u64(zh_vals), N >> rate)
-    zh_inv = gl.inv(zh)
-    l1 = gl.mul(zh, gl.inv(gl.mul(gl.sub(x_lde, jnp.ones_like(x_lde)),
-                                  jnp.full_like(x_lde, gl.U64(n)))))
+    zh_inv = pl.rows(gl.inv(zh))
+    l1 = gl.mul(jnp.asarray(zh), gl.inv(gl.mul(gl.sub(x_lde, jnp.ones_like(x_lde)),
+                                               jnp.full_like(x_lde, gl.U64(n)))))
     sinv_pows = jnp.asarray(host_powers(gl.inv_s(COSET_SHIFT), N))
 
     with timed_span("quotient evaluation + commit"):
         q_polys, q_lde = kernels["quotient_phase"](
             wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde, x_lde, zh_inv,
             l1, k_arr, gl.to_u64(betas), gl.to_u64(gammas), gl.to_u64(alphas),
-            gl.to_u64(pi_hash), sinv_pows)
-        q_tree = MerkleTree.build(q_lde.T, fri_cfg.cap_height)
+            gl.to_u64(pi_hash), sinv_pows, single_chunk=mesh is not None,
+            replicate=pl.replicate if mesh is not None else None)
+        q_lde = pl.rows(q_lde)
+        q_tree = MerkleTree.build_cols(q_lde, fri_cfg.cap_height)
         q_tree.cap_host()
     ch.observe_cap(q_tree.cap_host())
     zeta = ch.get_ext_challenge()

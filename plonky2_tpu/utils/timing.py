@@ -88,6 +88,10 @@ def timed_span(name: str, block_on=None):
         _STACK.pop()
         if parent is not None:
             parent.children.append(span)
+            # stream as each phase lands (long proves would otherwise be
+            # silent until the root closes)
+            logger.debug("%s.. %s: %.2fs", "  " * (len(_STACK) - 1),
+                         span.name, span.elapsed)
         else:
             for line in span.lines():
                 logger.debug(line)

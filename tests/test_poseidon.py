@@ -96,3 +96,25 @@ def test_squeeze_multiple_blocks():
     assert out12[:4] == out4
     got = gl.batch_to_int(ps.hash_no_pad(gl.to_u64([ins]), num_outputs=12))
     assert got == out12
+
+
+def test_cols_layout_matches_row_layout():
+    # lanes-first (prover Merkle path) must agree with lanes-last + scalar
+    arr = gl.to_u64([rand_state() for _ in range(9)])        # [9, 12]
+    a = jax.jit(ps.permute)(arr)
+    b = jax.jit(ps.permute_cols)(arr.T).T
+    assert gl.batch_to_int(a) == gl.batch_to_int(b)
+
+    for L in [3, 4, 8, 9, 17, 25]:
+        batch = [[RNG.randrange(gl.P) for _ in range(L)] for _ in range(5)]
+        cols = gl.to_u64(batch).T                            # [L, 5]
+        out = gl.batch_to_int(ps.hash_or_noop_cols(cols).T)
+        for i, ins in enumerate(batch):
+            assert out[4 * i: 4 * (i + 1)] == ps.hash_or_noop_s(ins), (L, i)
+
+    x = gl.to_u64([[RNG.randrange(gl.P) for _ in range(4)] for _ in range(6)])
+    y = gl.to_u64([[RNG.randrange(gl.P) for _ in range(4)] for _ in range(6)])
+    got = gl.batch_to_int(ps.two_to_one_cols(x.T, y.T).T)
+    for i in range(6):
+        want = ps.two_to_one_s([int(v) for v in x[i]], [int(v) for v in y[i]])
+        assert got[4 * i: 4 * (i + 1)] == want, i
