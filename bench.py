@@ -106,6 +106,32 @@ def _bench_config(build_fn, **kw):
     return rec
 
 
+def _bench_aggregation():
+    from plonky2_tpu.bench.circuits import build_aggregation
+    make, meta = build_aggregation(num_proofs=4)
+    t0 = time.perf_counter()
+    agg, inner_proofs = make()
+    build_s = time.perf_counter() - t0
+    rec = dict(meta)
+    rec.update(degree_bits=agg.data.common.degree_bits,
+               build_s=round(build_s, 2))
+    t0 = time.perf_counter()
+    outer = agg.prove(inner_proofs)
+    rec["prove_cold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    outer = agg.prove(inner_proofs)
+    rec["prove_warm_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    agg.verify(outer)
+    rec["verify_s"] = round(time.perf_counter() - t0, 2)
+    rec["proofs_per_sec"] = round(1.0 / rec["prove_warm_s"], 4)
+    print(f"# prove[{rec['name']}] outer 2^{rec['degree_bits']}: "
+          f"build(incl 4 inner proves) {build_s:.1f}s, "
+          f"cold {rec['prove_cold_s']}s, warm {rec['prove_warm_s']}s, "
+          f"verify {rec['verify_s']}s", file=sys.stderr, flush=True)
+    return rec
+
+
 def main():
     import jax
     dev = jax.devices()[0]
@@ -117,7 +143,7 @@ def main():
 
     from plonky2_tpu.bench import (build_ecdsa, build_poseidon_chain,
                                    build_smt_process, build_u32_mix)
-    which = os.environ.get("PLONKY2_TPU_BENCH_CONFIGS", "1,2,3,4").split(",")
+    which = os.environ.get("PLONKY2_TPU_BENCH_CONFIGS", "1,2,3,4,5").split(",")
     configs = {
         "1": (build_poseidon_chain, {"degree_bits": 12}),
         "2": (build_u32_mix, {"degree_bits": 13}),
@@ -127,11 +153,14 @@ def main():
     proves = {}
     for k in which:
         k = k.strip()
-        if k not in configs:
-            continue
-        fn, kw = configs[k]
         try:
-            rec = _bench_config(fn, **kw)
+            if k in configs:
+                fn, kw = configs[k]
+                rec = _bench_config(fn, **kw)
+            elif k == "5":
+                rec = _bench_aggregation()
+            else:
+                continue
             proves[rec["name"]] = rec
         except Exception as e:  # record the failure, keep going
             print(f"# prove[config {k}] FAILED: {e!r}", file=sys.stderr,

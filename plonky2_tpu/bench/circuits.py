@@ -153,3 +153,37 @@ def build_ecdsa(batch: int = 1):
         set_biguint_target(inputs, pk.point.x.value, pk_pt.x)
         set_biguint_target(inputs, pk.point.y.value, pk_pt.y)
     return b, inputs, {"name": "ecdsa_verify", "batch": batch}
+
+
+def build_aggregation(num_proofs: int = 4):
+    """Config 5: recursive aggregation of `num_proofs` zkDSA proofs via the
+    zkaa slot (/root/reference/src/zkaa/mod.rs — empty upstream, implemented
+    here; BASELINE config #5).
+
+    Returns (make, meta) where make() -> (AggregationCircuit, inner_proofs):
+    the aggregation flow builds its own outer CircuitData, so it does not
+    fit the (builder, inputs) shape of the other configs.
+    """
+    import random as _random
+
+    from ..ir import CircuitConfig
+    from ..zkdsa import make_simple_signature_circuit
+    from .. import zkaa
+
+    rng = _random.Random(0xA66BE7C4)
+    P = (1 << 64) - (1 << 32) + 1
+
+    def make():
+        inner = make_simple_signature_circuit(CircuitConfig.test_config())
+        proofs = []
+        for _ in range(num_proofs):
+            key = tuple(rng.randrange(P) for _ in range(4))
+            msg = tuple(rng.randrange(P) for _ in range(4))
+            sp = inner.prove(key, msg)
+            inner.verify(sp)
+            proofs.append(sp.proof)
+        agg = zkaa.make_aggregation_circuit(inner.data.verifier, num_proofs,
+                                            CircuitConfig.test_config())
+        return agg, proofs
+
+    return make, {"name": f"aggregation_{num_proofs}", "num_proofs": num_proofs}

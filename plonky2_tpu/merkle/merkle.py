@@ -31,19 +31,18 @@ from ..field import gl
 from ..hashes import poseidon
 
 
-# Per-shape jitted primitives: a tree of L leaves touches log2(L) distinct
-# level shapes; each compiles once (persistent cache) and the graphs stay
-# small (one permutation each) instead of one giant unrolled tree graph.
-_hash_leaves_cols = jax.jit(poseidon.hash_or_noop_cols)
-_compress_cols = jax.jit(
-    lambda cur: poseidon.two_to_one_cols(cur[:, 0::2], cur[:, 1::2]))
-
-
+# One jitted kernel per (C, L, cap_height) tree shape: the whole tree —
+# leaf sponge (a lax.scan) + every compress level — compiles as a single
+# executable.  Per-kernel compile latency dominates on a tunneled TPU, so
+# one compile per tree shape beats one per level by ~20x; oracles with the
+# same shape (and re-proves) share the cached executable.
+@functools.partial(jax.jit, static_argnames=("cap_height",))
 def _merkle_levels(leaves_cols, cap_height: int):
-    levels = [_hash_leaves_cols(leaves_cols)]
+    levels = [poseidon.hash_or_noop_cols(leaves_cols)]
     while levels[-1].shape[1] > (1 << cap_height):
-        levels.append(_compress_cols(levels[-1]))
-    return levels
+        cur = levels[-1]
+        levels.append(poseidon.two_to_one_cols(cur[:, 0::2], cur[:, 1::2]))
+    return tuple(levels)
 
 
 @dataclass
@@ -71,7 +70,7 @@ class MerkleTree:
             leaves_cols = jnp.concatenate(
                 [leaves_cols, jnp.zeros((pad, L), dtype=leaves_cols.dtype)],
                 axis=0)
-        levels = _merkle_levels(leaves_cols, cap_height)
+        levels = list(_merkle_levels(leaves_cols, cap_height))
         return MerkleTree(leaves=leaves_cols, cap_height=cap_height,
                           levels=levels)
 

@@ -257,21 +257,34 @@ def _make_kernels(common):
         return quotient_finish(tq, sinv_pows)
 
     @jax.jit
-    def composite(batch0_lde, zs_lde, fri_alpha_a, zeta_a, zeta_next_a,
-                  o0_a, o1_a, alpha_b0_a, x_lde):
-        # all *_a are traced (2,) u64 extension values
+    def composite(cs_lde, wires_lde, zs_pp_lde, q_lde, fri_alpha_a, zeta_a,
+                  zeta_next_a, o0_a, o1_a, alpha_b0_a, x_lde):
+        # all *_a are traced (2,) u64 extension values.  The four oracles
+        # stay separate (concatenating them would allocate an extra
+        # full-batch copy — an OOM at 2^18+) and fold with per-oracle
+        # alpha offsets: sum_i a^i f_i over the concatenated order equals
+        # R(cs) + a^|cs| R(wires) + a^|cs|+|w| R(zs) + ... .
         x_ext = ext.from_base(x_lde)
 
-        def reduce_alpha(polys):
-            # Sum_i alpha^i f_i(x): log-doubling alpha-power ladder, then the
-            # two extension components are weighted stacked muls + tree sums.
+        def reduce_alpha(polys, offset_pow):
+            # Sum_i alpha^(i) f_i(x): log-doubling alpha-power ladder, then
+            # the two extension components are weighted stacked muls + tree
+            # sums; offset_pow (ext scalar) shifts the whole ladder.
             ap = _power_ladder_ext(fri_alpha_a, polys.shape[0])   # [B, 2]
+            ap = ext.mul(ap, jnp.broadcast_to(offset_pow, ap.shape))
             r0c = gl.sum_mod(gl.mul(polys, ap[:, 0:1]), axis=0)
             r1c = gl.sum_mod(gl.mul(polys, ap[:, 1:2]), axis=0)
             return jnp.stack([r0c, r1c], axis=-1)      # [N, 2]
 
-        r0 = reduce_alpha(batch0_lde)
-        r1 = reduce_alpha(zs_lde)
+        one_e = jnp.asarray(gl.to_u64([1, 0]))
+        r0 = None
+        off = one_e
+        for polys in (cs_lde, wires_lde, zs_pp_lde, q_lde):
+            part = reduce_alpha(polys, off)
+            r0 = part if r0 is None else ext.add(r0, part)
+            off = ext.mul(off[None, :], _power_ladder_ext(
+                fri_alpha_a, polys.shape[0] + 1)[polys.shape[0]][None, :])[0]
+        r1 = reduce_alpha(zs_pp_lde[:nc], one_e)
         inv0 = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_a, x_ext.shape)))
         inv1 = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_next_a, x_ext.shape)))
         f0 = ext.mul(ext.sub(r0, jnp.broadcast_to(o0_a, x_ext.shape)), inv0)
@@ -468,7 +481,6 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     fri_alpha = ch.get_ext_challenge()
 
     # ---- 6. FRI ----
-    batch0_lde = jnp.concatenate([pd.cs_lde, wires_lde, zs_pp_lde, q_lde], axis=0)
     batch0_open = cs_open + wires_open + zs_pp_open + q_open
     B0 = len(batch0_open)
     o0 = ext.ZERO
@@ -480,9 +492,9 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     alpha_b0 = ext.pow_s(fri_alpha, B0)
     with timed_span("FRI (composite + commit phases + queries)"):
         composite = kernels["composite"](
-            batch0_lde, zs_pp_lde[:nc], _ext_arr(fri_alpha), _ext_arr(zeta),
-            _ext_arr(zeta_next), _ext_arr(o0), _ext_arr(o1), _ext_arr(alpha_b0),
-            x_lde)
+            cs_lde, wires_lde, zs_pp_lde, q_lde, _ext_arr(fri_alpha),
+            _ext_arr(zeta), _ext_arr(zeta_next), _ext_arr(o0), _ext_arr(o1),
+            _ext_arr(alpha_b0), x_lde)
         fri = fri_prove(composite, common.degree_bits, fri_cfg, ch, COSET_SHIFT,
                         [pd.cs_tree, wires_tree, zs_tree, q_tree])
 
