@@ -63,18 +63,20 @@ def _bench_ntt():
     print(f"# lde_step: {dt*1e3:.1f} ms -> {ntt_rate/1e9:.3f} G NTT-elems/s",
           file=sys.stderr, flush=True)
 
-    # secondary: Poseidon permutation throughput (Merkle leaf shape)
+    # secondary: Poseidon permutation throughput, lanes-first layout
+    # (the prover's Merkle/transcript hot path — see poseidon.permute_cols)
     from plonky2_tpu.hashes import poseidon
-    states = jnp.asarray(rng.randint(0, 1 << 62, size=(1 << 17, 12),
+    states = jnp.asarray(rng.randint(0, 1 << 62, size=(12, 1 << 17),
                                      dtype=np.uint64))
-    pj = jax.jit(poseidon.permute)
+    pj = jax.jit(poseidon.permute_cols)
     pj(states).block_until_ready()
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(iters):
         o = pj(states)
     o.block_until_ready()
-    pdt = (time.perf_counter() - t0) / 3
-    print(f"# poseidon: {states.shape[0]/pdt/1e6:.2f} M perms/s",
+    pdt = (time.perf_counter() - t0) / iters
+    print(f"# poseidon (cols): {states.shape[1]/pdt/1e6:.2f} M perms/s",
           file=sys.stderr, flush=True)
     return ntt_rate
 

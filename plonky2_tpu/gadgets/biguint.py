@@ -18,7 +18,7 @@ from dataclasses import dataclass
 
 from ..field import gl
 from ..ir.builder import CircuitBuilder
-from ..witness import LambdaGenerator
+from ..witness import NamedGenerator
 from .u32 import U32Target
 
 
@@ -161,21 +161,9 @@ def div_rem_biguint(self, a: BigUintTarget, b: BigUintTarget):
     rem = self.add_virtual_biguint_target(n_rem)
 
     deps = [t.target for t in a.limbs] + [t.target for t in b.limbs]
-    na, nb = a.num_limbs, b.num_limbs
-
-    def hint(vals):
-        av = biguint_to_int(vals[:na])
-        bv = biguint_to_int(vals[na:na + nb])
-        d, r = divmod(av, bv) if bv else (0, 0)
-        out = []
-        for i, t in enumerate(div.limbs):
-            out.append((t.target, (d >> (32 * i)) & 0xFFFFFFFF))
-        for i, t in enumerate(rem.limbs):
-            out.append((t.target, (r >> (32 * i)) & 0xFFFFFFFF))
-        return out
-
-    self.add_simple_generator(LambdaGenerator(
-        deps, hint, outs=[t.target for t in div.limbs + rem.limbs]))
+    self.add_simple_generator(NamedGenerator(
+        "biguint_div_rem", {"na": a.num_limbs, "nb": b.num_limbs}, deps,
+        [t.target for t in div.limbs + rem.limbs]))
 
     prod = self.mul_biguint(div, b)
     total = self.add_biguint(prod, rem)
@@ -209,7 +197,7 @@ def set_biguint_target(inputs: dict, target: BigUintTarget, value: int):
         inputs[t.target] = (value >> (32 * i)) & 0xFFFFFFFF
 
 
-_EXCLUDE = {"BigUintTarget", "U32Target", "CircuitBuilder", "LambdaGenerator",
+_EXCLUDE = {"BigUintTarget", "U32Target", "CircuitBuilder", "NamedGenerator",
             "dataclass", "annotations", "big_from_int", "biguint_to_int",
             "set_biguint_target"}
 for _name, _fn in list(globals().items()):

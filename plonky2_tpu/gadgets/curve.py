@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 from ..field import secp
 from ..ir.builder import CircuitBuilder
-from ..witness import LambdaGenerator
+from ..witness import NamedGenerator
 from .biguint import BigUintTarget, biguint_to_int
 from .nonnative import NonNativeTarget
 from .u32 import U32Target
@@ -258,19 +258,10 @@ def decompose_secp256k1_scalar(self, k: NonNativeTarget):
     k1_neg = self.add_virtual_target()
     k2_neg = self.add_virtual_target()
 
-    def fn(vals):
-        kv = biguint_to_int(vals) % FN
-        m1, n1, m2, n2 = secp.glv_decompose(kv)
-        out = [(t.target, (m1 >> (32 * i)) & 0xFFFFFFFF)
-               for i, t in enumerate(k1.value.limbs)]
-        out += [(t.target, (m2 >> (32 * i)) & 0xFFFFFFFF)
-                for i, t in enumerate(k2.value.limbs)]
-        out += [(k1_neg, int(n1)), (k2_neg, int(n2))]
-        return out
-
-    self.add_simple_generator(LambdaGenerator(
+    self.add_simple_generator(NamedGenerator(
+        "glv_decompose", {"n1": k1.num_limbs, "n2": k2.num_limbs},
         [t.target for t in k.value.limbs],
-        fn, outs=[t.target for t in k1.value.limbs + k2.value.limbs]
+        [t.target for t in k1.value.limbs + k2.value.limbs]
         + [k1_neg, k2_neg]))
     self.assert_bool(k1_neg)
     self.assert_bool(k2_neg)
@@ -294,7 +285,7 @@ def glv_mul(self, p: AffinePointTarget, k: NonNativeTarget) -> AffinePointTarget
 
 
 _EXCLUDE = {"AffinePointTarget", "NonNativeTarget", "CircuitBuilder",
-            "LambdaGenerator", "dataclass", "annotations", "biguint_to_int",
+            "NamedGenerator", "dataclass", "annotations", "biguint_to_int",
             "deterministic_point", "hashlib", "secp"}
 for _name, _fn in list(globals().items()):
     if callable(_fn) and not _name.startswith("_") and _name not in _EXCLUDE:

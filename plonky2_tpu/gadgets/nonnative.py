@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 from ..field import gl
 from ..ir.builder import CircuitBuilder
-from ..witness import LambdaGenerator
+from ..witness import NamedGenerator
 from .biguint import BigUintTarget, biguint_to_int
 from .u32 import U32Target
 
@@ -34,10 +34,6 @@ class NonNativeTarget:
 
 def _mod_limbs(modulus: int) -> int:
     return (modulus.bit_length() + 31) // 32
-
-
-def _hint(self, dep_targets, out_targets, fn):
-    self.add_simple_generator(LambdaGenerator(dep_targets, fn, outs=out_targets))
 
 
 def _limb_targets(b: BigUintTarget):
@@ -94,18 +90,10 @@ def add_nonnative(self, a: NonNativeTarget, b: NonNativeTarget) -> NonNativeTarg
     out = self.add_virtual_nonnative_target(p)
     ovf = self.add_virtual_target()
 
-    def fn(vals, nl=a.num_limbs):
-        av = biguint_to_int(vals[:nl])
-        bv = biguint_to_int(vals[nl:])
-        s = av + bv
-        o = 1 if s >= p else 0
-        s -= o * p
-        outs = [(t.target, (s >> (32 * i)) & 0xFFFFFFFF)
-                for i, t in enumerate(out.value.limbs)]
-        return outs + [(ovf, o)]
-
-    _hint(self, _limb_targets(a.value) + _limb_targets(b.value),
-          _limb_targets(out.value) + [ovf], fn)
+    self.add_simple_generator(NamedGenerator(
+        "nn_add", {"p": p, "nl": a.num_limbs, "n_out": out.num_limbs},
+        _limb_targets(a.value) + _limb_targets(b.value),
+        _limb_targets(out.value) + [ovf]))
     self.assert_bool(ovf)
     lhs = self.add_biguint(a.value, b.value)
     p_c = self.constant_biguint(p)
@@ -122,20 +110,10 @@ def add_many_nonnative(self, xs: list) -> NonNativeTarget:
     out = self.add_virtual_nonnative_target(p)
     ovf = self.add_virtual_u32_target()
     deps = [t for x in xs for t in _limb_targets(x.value)]
-    nl = [x.num_limbs for x in xs]
-
-    def fn(vals):
-        total = 0
-        off = 0
-        for n in nl:
-            total += biguint_to_int(vals[off:off + n])
-            off += n
-        o, s = divmod(total, p)
-        outs = [(t.target, (s >> (32 * i)) & 0xFFFFFFFF)
-                for i, t in enumerate(out.value.limbs)]
-        return outs + [(ovf.target, o)]
-
-    _hint(self, deps, _limb_targets(out.value) + [ovf.target], fn)
+    self.add_simple_generator(NamedGenerator(
+        "nn_add_many",
+        {"p": p, "nl": [x.num_limbs for x in xs], "n_out": out.num_limbs},
+        deps, _limb_targets(out.value) + [ovf.target]))
     lhs = xs[0].value
     for x in xs[1:]:
         lhs = self.add_biguint(lhs, x.value)
@@ -152,18 +130,10 @@ def sub_nonnative(self, a: NonNativeTarget, b: NonNativeTarget) -> NonNativeTarg
     out = self.add_virtual_nonnative_target(p)
     ovf = self.add_virtual_target()
 
-    def fn(vals, nl=a.num_limbs):
-        av = biguint_to_int(vals[:nl])
-        bv = biguint_to_int(vals[nl:])
-        d = av - bv
-        o = 1 if d < 0 else 0
-        d += o * p
-        outs = [(t.target, (d >> (32 * i)) & 0xFFFFFFFF)
-                for i, t in enumerate(out.value.limbs)]
-        return outs + [(ovf, o)]
-
-    _hint(self, _limb_targets(a.value) + _limb_targets(b.value),
-          _limb_targets(out.value) + [ovf], fn)
+    self.add_simple_generator(NamedGenerator(
+        "nn_sub", {"p": p, "nl": a.num_limbs, "n_out": out.num_limbs},
+        _limb_targets(a.value) + _limb_targets(b.value),
+        _limb_targets(out.value) + [ovf]))
     self.assert_bool(ovf)
     p_c = self.constant_biguint(p)
     lhs = self.add_biguint(a.value, self.mul_biguint_u32(p_c, U32Target(ovf)))
@@ -184,18 +154,11 @@ def mul_nonnative(self, a: NonNativeTarget, b: NonNativeTarget) -> NonNativeTarg
     n_ovf = a.num_limbs + b.num_limbs - _mod_limbs(p) + 1
     ovf = self.add_virtual_biguint_target(n_ovf)
 
-    def fn(vals, nl=a.num_limbs):
-        av = biguint_to_int(vals[:nl])
-        bv = biguint_to_int(vals[nl:])
-        o, s = divmod(av * bv, p)
-        outs = [(t.target, (s >> (32 * i)) & 0xFFFFFFFF)
-                for i, t in enumerate(out.value.limbs)]
-        outs += [(t.target, (o >> (32 * i)) & 0xFFFFFFFF)
-                 for i, t in enumerate(ovf.limbs)]
-        return outs
-
-    _hint(self, _limb_targets(a.value) + _limb_targets(b.value),
-          _limb_targets(out.value) + _limb_targets(ovf), fn)
+    self.add_simple_generator(NamedGenerator(
+        "nn_mul", {"p": p, "nl": a.num_limbs, "n_out": out.num_limbs,
+                   "n_ovf": n_ovf},
+        _limb_targets(a.value) + _limb_targets(b.value),
+        _limb_targets(out.value) + _limb_targets(ovf)))
     lhs = self.mul_biguint(a.value, b.value)
     p_c = self.constant_biguint(p)
     rhs = self.add_biguint(self.mul_biguint(ovf, p_c), out.value)
@@ -217,18 +180,10 @@ def inv_nonnative(self, x: NonNativeTarget) -> NonNativeTarget:
     n_div = 2 * x.num_limbs - _mod_limbs(p) + 1
     div = self.add_virtual_biguint_target(n_div)
 
-    def fn(vals):
-        xv = biguint_to_int(vals)
-        iv = pow(xv, p - 2, p) if xv % p else 0
-        d = (xv * iv - 1) // p if xv % p else 0
-        outs = [(t.target, (iv >> (32 * i)) & 0xFFFFFFFF)
-                for i, t in enumerate(inv.value.limbs)]
-        outs += [(t.target, (d >> (32 * i)) & 0xFFFFFFFF)
-                 for i, t in enumerate(div.limbs)]
-        return outs
-
-    _hint(self, _limb_targets(x.value),
-          _limb_targets(inv.value) + _limb_targets(div), fn)
+    self.add_simple_generator(NamedGenerator(
+        "nn_inv", {"p": p, "n_inv": inv.num_limbs, "n_div": n_div},
+        _limb_targets(x.value),
+        _limb_targets(inv.value) + _limb_targets(div)))
     prod = self.mul_biguint(x.value, inv.value)
     p_c = self.constant_biguint(p)
     rhs = self.add_biguint(self.mul_biguint(div, p_c), self.constant_biguint(1))
@@ -304,7 +259,7 @@ def recombine_nonnative_4_bit_limbs(self, limbs: list, modulus: int) -> NonNativ
 
 
 _EXCLUDE = {"NonNativeTarget", "BigUintTarget", "U32Target", "CircuitBuilder",
-            "LambdaGenerator", "dataclass", "annotations", "biguint_to_int"}
+            "NamedGenerator", "dataclass", "annotations", "biguint_to_int"}
 for _name, _fn in list(globals().items()):
     if callable(_fn) and not _name.startswith("_") and _name not in _EXCLUDE:
         setattr(CircuitBuilder, _name, _fn)

@@ -199,6 +199,26 @@ class PoseidonGenerator(Generator):
         row = self.row
         ins = [get(Wire(row, WIRE_INPUT + i)) for i in range(W)]
         swap = get(Wire(row, WIRE_SWAP))
+
+        # native row engine (C++ Goldilocks; ~100x the Python permutation).
+        # Gated on the small-entry MDS (the native accumulator assumes it).
+        if poseidon._MDS_SMALL:
+            from .. import native
+            import numpy as np
+            vals = native.poseidon_rows(
+                np.array([ins], dtype=np.uint64),
+                np.array([swap], dtype=np.uint64),
+                poseidon.ROUND_CONSTANTS, poseidon.MDS,
+                poseidon.FULL_ROUNDS // 2, poseidon.PARTIAL_ROUNDS)
+            if vals is not None:
+                v = vals[0]
+                aux = 4 + 3 * W + poseidon.PARTIAL_ROUNDS + 4 * W
+                res = [(Wire(row, WIRE_DELTA + j), int(v[j]))
+                       for j in range(aux)]
+                res += [(Wire(row, WIRE_OUTPUT + i), int(v[aux + i]))
+                        for i in range(W)]
+                return res
+
         out = []
         delta = [(swap * ((ins[4 + i] - ins[i]) % gl.P)) % gl.P for i in range(4)]
         for i in range(4):

@@ -23,7 +23,7 @@ from collections import namedtuple
 from ..field import gl
 from ..gates import ArithmeticGate, ConstantGate, NoopGate, PoseidonGate, PublicInputGate
 from ..hashes import poseidon
-from ..witness import LambdaGenerator
+from ..witness import LambdaGenerator, NamedGenerator
 
 Wire = namedtuple("Wire", ["row", "column"])
 
@@ -201,12 +201,8 @@ class CircuitBuilder:
         eq = 1 - (a-b)*m with (a-b)*eq == 0 (plonky2's `is_equal`)."""
         diff = self.sub(a, b)
         m = self.add_virtual_target()
-
-        def _hint(vals, _m=m):
-            d = vals[0]
-            return [(_m, gl.inv_s(d) if d else 0)]
-
-        self.add_simple_generator(LambdaGenerator([diff], _hint, outs=[m]))
+        self.add_simple_generator(NamedGenerator(
+            "inv_or_zero", {}, [diff], [m]))
         eq = self.not_(self.mul(diff, m))
         self.assert_zero(self.mul(diff, eq))
         return eq

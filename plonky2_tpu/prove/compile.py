@@ -61,6 +61,9 @@ class ProverData:
     instance_list: list              # [(gate, constants)] padded
     pi_targets: list                 # registered public-input targets
     class_wires: dict = None         # rep -> list[Wire] (copy classes)
+    classes: dict = None             # rep -> set of all members (serde)
+    pi_gate_row: int = -1            # row of the PublicInputGate
+    custom_generators: list = None   # gadget hints only (serde)
 
 
 @dataclass
@@ -249,6 +252,9 @@ def _compile_impl(builder) -> CircuitData:
         pi_targets=pi_targets,
         class_wires={rep: [m for m in members if isinstance(m, Wire)]
                      for rep, members in classes.items()},
+        classes=classes,
+        pi_gate_row=pi_gate_row,
+        custom_generators=list(builder.custom_generators),
     )
     verifier = VerifierData(common=common, cs_cap=cs_tree.cap_host())
     return CircuitData(prover=prover, verifier=verifier)

@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from ..field import ext, gl
 from ..hashes import poseidon
 from ..ntt import COSET_SHIFT
-from ..witness import LambdaGenerator
+from ..witness import NamedGenerator
 from .challenger import RecursiveChallenger
 from .circuit_alg import CircuitAlg
 from .merkle import verify_merkle_proof_to_cap_circuit
@@ -220,13 +220,8 @@ def _inv_extension(b, a):
     """Hinted GF(p^2) inverse: witness computes a^-1, circuit checks
     a * inv == 1."""
     inv = b.add_virtual_extension_target()
-
-    def _hint(vals, _o=inv):
-        v = ext.inv_s((vals[0], vals[1]))
-        return [(_o[0], v[0]), (_o[1], v[1])]
-
-    b.add_simple_generator(LambdaGenerator([a[0], a[1]], _hint,
-                                           outs=list(inv)))
+    b.add_simple_generator(NamedGenerator(
+        "ext_inv", {}, [a[0], a[1]], list(inv)))
     b.connect_extension(b.mul_extension(a, inv), b.one_extension())
     return inv
 
