@@ -60,7 +60,15 @@ def _bench_ntt():
     # elements transformed: iNTT over n + NTT over n<<rate per poly
     elems = num_polys * (n + (n << rate))
     ntt_rate = elems / dt
-    print(f"# lde_step: {dt*1e3:.1f} ms -> {ntt_rate/1e9:.3f} G NTT-elems/s",
+    # roofline: stage-wise butterflies read+write the whole array per
+    # stage (the XLA formulation); v5e HBM ~819 GB/s
+    HBM = 819e9
+    stage_bytes = num_polys * 8 * 2 * (n * 14 + (n << rate) * (14 + rate))
+    io_bytes = num_polys * 8 * (n + 2 * (n << rate))
+    print(f"# lde_step: {dt*1e3:.1f} ms -> {ntt_rate/1e9:.3f} G NTT-elems/s "
+          f"(stage-wise HBM floor {stage_bytes/HBM*1e3:.1f} ms -> "
+          f"{100*stage_bytes/HBM/dt:.0f}% of roofline; "
+          f"fused-kernel floor {io_bytes/HBM*1e3:.2f} ms)",
           file=sys.stderr, flush=True)
 
     # secondary: Poseidon permutation throughput, lanes-first layout
