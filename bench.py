@@ -144,6 +144,10 @@ def _bench_aggregation():
 
 def main():
     import jax
+
+    from plonky2_tpu.utils import profiling_enable
+    profiling_enable()        # stream per-phase TimingTree spans to stderr
+
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr, flush=True)
 
@@ -176,6 +180,12 @@ def main():
             print(f"# prove[config {k}] FAILED: {e!r}", file=sys.stderr,
                   flush=True)
             proves[f"config_{k}"] = {"error": repr(e)}
+        finally:
+            # drop the config's device arrays before the next one — a
+            # failed prove otherwise pins its HBM via the traceback
+            import gc
+            sys.last_traceback = None
+            gc.collect()
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_cpu.json")

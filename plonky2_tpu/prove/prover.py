@@ -257,8 +257,8 @@ def _make_kernels(common):
         return quotient_finish(tq, sinv_pows)
 
     @jax.jit
-    def composite(cs_lde, wires_lde, zs_pp_lde, q_lde, fri_alpha_a, zeta_a,
-                  zeta_next_a, o0_a, o1_a, alpha_b0_a, x_lde):
+    def composite_chunk(cs_lde, wires_lde, zs_pp_lde, q_lde, fri_alpha_a,
+                        zeta_a, zeta_next_a, o0_a, o1_a, alpha_b0_a, x_lde):
         # all *_a are traced (2,) u64 extension values.  The four oracles
         # stay separate (concatenating them would allocate an extra
         # full-batch copy — an OOM at 2^18+) and fold with per-oracle
@@ -291,6 +291,22 @@ def _make_kernels(common):
         f1 = ext.mul(ext.sub(r1, jnp.broadcast_to(o1_a, x_ext.shape)), inv1)
         f1 = ext.mul(f1, jnp.broadcast_to(alpha_b0_a, x_ext.shape))
         return ext.add(f0, f1)
+
+    def composite(cs_lde, wires_lde, zs_pp_lde, q_lde, fri_alpha_a, zeta_a,
+                  zeta_next_a, o0_a, o1_a, alpha_b0_a, x_lde,
+                  single_chunk=False):
+        # Domain-chunked like the quotient: the alpha-fold over a
+        # 300+-poly oracle would otherwise materialize multi-GB
+        # intermediates on top of the live LDEs.
+        step = N if single_chunk else M
+        outs = []
+        for s0 in range(0, N, step):
+            sl = slice(s0, s0 + step)
+            outs.append(composite_chunk(
+                cs_lde[:, sl], wires_lde[:, sl], zs_pp_lde[:, sl],
+                q_lde[:, sl], fri_alpha_a, zeta_a, zeta_next_a, o0_a, o1_a,
+                alpha_b0_a, x_lde[sl]))
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     return {"z_phase": z_phase, "quotient_phase": quotient_phase,
             "composite": composite}
@@ -494,7 +510,7 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
         composite = kernels["composite"](
             cs_lde, wires_lde, zs_pp_lde, q_lde, _ext_arr(fri_alpha),
             _ext_arr(zeta), _ext_arr(zeta_next), _ext_arr(o0), _ext_arr(o1),
-            _ext_arr(alpha_b0), x_lde)
+            _ext_arr(alpha_b0), x_lde, single_chunk=mesh is not None)
         fri = fri_prove(composite, common.degree_bits, fri_cfg, ch, COSET_SHIFT,
                         [pd.cs_tree, wires_tree, zs_tree, q_tree])
 
