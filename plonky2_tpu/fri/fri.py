@@ -122,17 +122,18 @@ def _fold(values, beta_arr, shift: int, arity_bits: int):
 # Proof-of-work grind (device)
 # ------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("batch", "pos"))
-def _grind_kernel(state_row, lo, threshold, batch: int, pos: int):
+@functools.partial(jax.jit, static_argnames=("batch", "pos", "hasher"))
+def _grind_kernel(state_row, lo, threshold, batch: int, pos: int,
+                  hasher=poseidon):
     """state_row [12] -> (found: bool, first_hit_offset: i64).
 
     Candidates are generated on device and only two scalars cross back to
     the host — the tunneled-TPU-friendly formulation (shipping a
     [batch, 12] base state or a hit mask costs seconds of transfer)."""
     cands = lo + jnp.arange(batch, dtype=gl.DTYPE)
-    st = jnp.broadcast_to(state_row[:, None], (poseidon.WIDTH, batch))
+    st = jnp.broadcast_to(state_row[:, None], (hasher.WIDTH, batch))
     st = st.at[pos, :].set(cands)
-    out = poseidon.permute_cols(st)[poseidon.RATE - 1]
+    out = hasher.permute_cols(st)[hasher.RATE - 1]
     ok = out < threshold
     hit = jnp.argmax(ok)
     return ok[hit], hit
@@ -146,9 +147,10 @@ def grind(challenger: Challenger, pow_bits: int, batch: int | None = None,
     if batch is None:
         # ~16x the expected number of attempts, floor for vectorization
         batch = max(1 << 12, 16 << pow_bits)
+    hasher = challenger.hasher
     buf = challenger.input_buffer
     state = list(challenger.sponge_state)
-    assert len(buf) < poseidon.RATE
+    assert len(buf) < hasher.RATE
     state[: len(buf)] = buf
     pos = len(buf)
     threshold = gl.U64(1 << (64 - pow_bits))
@@ -156,7 +158,7 @@ def grind(challenger: Challenger, pow_bits: int, batch: int | None = None,
     for chunk in range(max_batches):
         lo = gl.U64(chunk * batch)
         found, hit = jax.device_get(
-            _grind_kernel(state_row, lo, threshold, batch, pos))
+            _grind_kernel(state_row, lo, threshold, batch, pos, hasher))
         if found:
             return chunk * batch + int(hit)
     raise RuntimeError("PoW grind exhausted candidate space")
@@ -168,7 +170,7 @@ def grind(challenger: Challenger, pow_bits: int, batch: int | None = None,
 
 def fri_prove(values, degree_bits: int, config: FriConfig,
               challenger: Challenger, shift: int,
-              initial_trees: list[MerkleTree]) -> FriProof:
+              initial_trees: list[MerkleTree], hasher=poseidon) -> FriProof:
     """values: [N, 2] ext composite over the LDE coset (natural order),
     N = 2^(degree_bits + rate_bits).  initial_trees: the already-committed
     oracles whose openings each query round must include."""
@@ -189,7 +191,7 @@ def fri_prove(values, degree_bits: int, config: FriConfig,
             # leaf j = the arity coset {j + k*rows}, flattened (c0, c1) pairs;
             # column layout [2a, rows] feeds build_cols without a transpose
             leaves_cols = cur.reshape(a, Nc // a, 2).transpose(0, 2, 1).reshape(2 * a, Nc // a)
-            tree = MerkleTree.build_cols(leaves_cols, min(config.cap_height, (Nc // a).bit_length() - 1))
+            tree = MerkleTree.build_cols(leaves_cols, min(config.cap_height, (Nc // a).bit_length() - 1), hasher)
             layer_trees.append(tree)
             challenger.observe_cap(tree.cap_host())
             beta = challenger.get_ext_challenge()
@@ -280,7 +282,7 @@ def _interpolate_coset_s(points, values, beta):
 
 def fri_verify(proof: FriProof, degree_bits: int, config: FriConfig,
                challenger: Challenger, shift: int,
-               initial_caps: list, combine_fn) -> None:
+               initial_caps: list, combine_fn, hasher=poseidon) -> None:
     """Raises AssertionError on any failed check.
 
     combine_fn(index, initial_leaf_values: list[list[int]]) -> ext tuple:
@@ -312,7 +314,7 @@ def fri_verify(proof: FriProof, degree_bits: int, config: FriConfig,
         assert len(qr.initial) == len(initial_caps)
         for opening, cap in zip(qr.initial, initial_caps):
             assert verify_merkle_proof_s(opening.leaf_values, idx, cap,
-                                         opening.siblings), "initial Merkle proof"
+                                         opening.siblings, hasher), "initial Merkle proof"
         old_eval = combine_fn(idx, [o.leaf_values for o in qr.initial])
 
         cur_N, cur_i, cur_shift = N, idx, shift
@@ -323,7 +325,8 @@ def fri_verify(proof: FriProof, degree_bits: int, config: FriConfig,
             k = cur_i // rows
             assert step.evals[k] == tuple(old_eval), "fold consistency"
             leaf = [x for e in step.evals for x in e]
-            assert verify_merkle_proof_s(leaf, j, cap, step.siblings), "layer Merkle proof"
+            assert verify_merkle_proof_s(leaf, j, cap, step.siblings,
+                                         hasher), "layer Merkle proof"
             # coset points: x_j * w_a^k, x_j = shift * w_N^j
             w_N = gl.primitive_root_of_unity(cur_N.bit_length() - 1)
             x_j = gl.mul_s(cur_shift, pow(w_N, j, gl.P))

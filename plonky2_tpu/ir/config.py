@@ -28,17 +28,29 @@ class CircuitConfig:
     # in-circuit ("inner") algebraic hasher: "poseidon" | "poseidon2".
     # Mirrors the GenericConfig InnerHasher choice (the reference whitelists
     # Poseidon2Gate, /root/reference/src/ecdsa/gadgets/ecdsa.rs:85-87).
-    # The transcript/Merkle hasher remains Poseidon (the reference's default
-    # PoseidonGoldilocksConfig).
     algebraic_hasher: str = "poseidon"
+    # transcript/Merkle ("outer") hasher: "poseidon" | "keccak".
+    # "keccak" is the KeccakGoldilocksConfig slot the reference proves
+    # keccak circuits under (/root/reference/src/hash/keccak256.rs:187,281).
+    transcript_hasher: str = "poseidon"
 
     def hasher_module(self):
         from ..hashes import poseidon, poseidon2
         return poseidon2 if self.algebraic_hasher == "poseidon2" else poseidon
 
+    def transcript_module(self):
+        from ..hashes import keccak_hash, poseidon
+        return keccak_hash if self.transcript_hasher == "keccak" else poseidon
+
     @staticmethod
     def standard_recursion_config() -> "CircuitConfig":
         return CircuitConfig()
+
+    @staticmethod
+    def keccak_config() -> "CircuitConfig":
+        """KeccakGoldilocksConfig analog: Keccak transcript/Merkle hasher,
+        Poseidon in-circuit hasher (keccak256.rs:256-296 usage)."""
+        return CircuitConfig(transcript_hasher="keccak")
 
     @staticmethod
     def standard_ecc_config() -> "CircuitConfig":

@@ -36,12 +36,12 @@ from ..hashes import poseidon
 # executable.  Per-kernel compile latency dominates on a tunneled TPU, so
 # one compile per tree shape beats one per level by ~20x; oracles with the
 # same shape (and re-proves) share the cached executable.
-@functools.partial(jax.jit, static_argnames=("cap_height",))
-def _merkle_levels(leaves_cols, cap_height: int):
-    levels = [poseidon.hash_or_noop_cols(leaves_cols)]
+@functools.partial(jax.jit, static_argnames=("cap_height", "hasher"))
+def _merkle_levels(leaves_cols, cap_height: int, hasher=poseidon):
+    levels = [hasher.hash_or_noop_cols(leaves_cols)]
     while levels[-1].shape[1] > (1 << cap_height):
         cur = levels[-1]
-        levels.append(poseidon.two_to_one_cols(cur[:, 0::2], cur[:, 1::2]))
+        levels.append(hasher.two_to_one_cols(cur[:, 0::2], cur[:, 1::2]))
     return tuple(levels)
 
 
@@ -53,11 +53,12 @@ class MerkleTree:
     leaves: jnp.ndarray
     cap_height: int
     levels: list = field(default_factory=list)
+    hasher: object = poseidon
     _host_levels: list | None = None
     _host_leaves: np.ndarray | None = None
 
     @staticmethod
-    def build_cols(leaves_cols, cap_height: int) -> "MerkleTree":
+    def build_cols(leaves_cols, cap_height: int, hasher=poseidon) -> "MerkleTree":
         """leaves_cols: [C, L] — one leaf per column."""
         C, L = leaves_cols.shape
         assert L & (L - 1) == 0, "leaf count must be a power of 2"
@@ -65,19 +66,19 @@ class MerkleTree:
         # Pad columns to the sponge rate so circuits with similar oracle
         # widths share compiled leaf-hash kernels.  Pad zeros are bound by
         # the Merkle commitment and ignored by every consumer.
-        if C > poseidon.HASH_OUT and C % poseidon.RATE:
-            pad = poseidon.RATE - C % poseidon.RATE
+        if C > hasher.HASH_OUT and C % hasher.RATE:
+            pad = hasher.RATE - C % hasher.RATE
             leaves_cols = jnp.concatenate(
                 [leaves_cols, jnp.zeros((pad, L), dtype=leaves_cols.dtype)],
                 axis=0)
-        levels = list(_merkle_levels(leaves_cols, cap_height))
+        levels = list(_merkle_levels(leaves_cols, cap_height, hasher))
         return MerkleTree(leaves=leaves_cols, cap_height=cap_height,
-                          levels=levels)
+                          levels=levels, hasher=hasher)
 
     @staticmethod
-    def build(leaves, cap_height: int) -> "MerkleTree":
+    def build(leaves, cap_height: int, hasher=poseidon) -> "MerkleTree":
         """leaves: [L, C] — one leaf per row (row-layout convenience)."""
-        return MerkleTree.build_cols(leaves.T, cap_height)
+        return MerkleTree.build_cols(leaves.T, cap_height, hasher)
 
     @property
     def cap(self):
@@ -139,14 +140,14 @@ def _gather_openings(leaves_cols, levels, idx):
 
 
 def verify_merkle_proof_s(leaf_values: list[int], index: int, cap: list[list[int]],
-                          siblings: list[list[int]]) -> bool:
+                          siblings: list[list[int]], hasher=poseidon) -> bool:
     """Scalar verification: recompute the path and compare the cap entry."""
-    h = poseidon.hash_or_noop_s(leaf_values)
+    h = hasher.hash_or_noop_s(leaf_values)
     idx = index
     for sib in siblings:
         if idx & 1:
-            h = poseidon.two_to_one_s(sib, h)
+            h = hasher.two_to_one_s(sib, h)
         else:
-            h = poseidon.two_to_one_s(h, sib)
+            h = hasher.two_to_one_s(h, sib)
         idx >>= 1
     return h == list(cap[idx])

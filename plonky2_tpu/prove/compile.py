@@ -198,7 +198,8 @@ def _compile_impl(builder) -> CircuitData:
     from ..ntt import lde_from_values_jit
     with timed_span("constants/sigmas LDE + Merkle commit"):
         cs_coeffs, cs_lde = lde_from_values_jit(cs_vals, fri_cfg.rate_bits)
-        cs_tree = MerkleTree.build_cols(cs_lde, fri_cfg.cap_height)
+        cs_tree = MerkleTree.build_cols(cs_lde, fri_cfg.cap_height,
+                                        config.transcript_module())
         cs_tree.cap_host()
 
     # ---- witness generators ----

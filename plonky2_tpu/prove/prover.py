@@ -139,11 +139,21 @@ def _make_kernels(common):
                 pps.append(acc)
         return jnp.stack(zs + pps, axis=0)
 
-    @jax.jit
-    def quotient_chunk(wires_c, sel_c, const_c, sigma_c, zs_c, zs_next_c,
-                       x_c, zh_inv_c, l1_c, k_arr, betas, gammas, alphas,
-                       pi_hash_arr):
-        # One domain chunk [*, M] -> [nc, M] quotient values.
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def quotient_chunk(wires_lde, sel_lde, const_lde, sigma_lde, zs_lde,
+                       zs_next, x_lde, zh_inv, l1, k_arr, betas, gammas,
+                       alphas, pi_hash_arr, s0, m: int):
+        # One domain chunk [*, m] starting at s0 -> [nc, m] quotient values.
+        # Slicing happens INSIDE the kernel (lax.dynamic_slice on a traced
+        # start): eager out-of-jit slices are separate dispatches that copy
+        # gigabytes per chunk on a tunneled backend.
+        def cut(a):
+            return jax.lax.dynamic_slice_in_dim(a, s0, m, axis=a.ndim - 1)
+
+        wires_c, sel_c, const_c, sigma_c = map(cut, (wires_lde, sel_lde,
+                                                     const_lde, sigma_lde))
+        zs_c, zs_next_c = cut(zs_lde), cut(zs_next)
+        x_c, zh_inv_c, l1_c = cut(x_lde), cut(zh_inv), cut(l1)
         #
         # Terms are alpha-folded on the fly instead of materialized: the
         # slot-sum identity  sum_t a^t sum_g filt_g c_{g,t}
@@ -243,12 +253,10 @@ def _make_kernels(common):
         step = N if single_chunk else M
         outs = []
         for s0 in range(0, N, step):
-            sl = slice(s0, s0 + step)
             outs.append(quotient_chunk(
-                wires_lde[:, sl], sel_lde[:, sl], const_lde[:, sl],
-                sigma_lde[:, sl], zs_pp_lde[:, sl], zs_next[:, sl],
-                x_lde[sl], zh_inv[sl], l1[sl], k_arr, betas, gammas,
-                alphas, pi_hash_arr))
+                wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde,
+                zs_next, x_lde, zh_inv, l1, k_arr, betas, gammas,
+                alphas, pi_hash_arr, jnp.int32(s0), step))
         tq = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         if replicate is not None:
             # nc (=2) polys can't poly-shard: replicate the small [nc, N]
@@ -256,9 +264,18 @@ def _make_kernels(common):
             tq = replicate(tq)
         return quotient_finish(tq, sinv_pows)
 
-    @jax.jit
-    def composite_chunk(cs_lde, wires_lde, zs_pp_lde, q_lde, fri_alpha_a,
-                        zeta_a, zeta_next_a, o0_a, o1_a, alpha_b0_a, x_lde):
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def composite_chunk(cs_full, wires_full, zs_full, q_full, fri_alpha_a,
+                        zeta_a, zeta_next_a, o0_a, o1_a, alpha_b0_a, x_full,
+                        s0=None, m: int = 0):
+        if s0 is not None:
+            def cut(a):
+                return jax.lax.dynamic_slice_in_dim(a, s0, m, axis=a.ndim - 1)
+            cs_lde, wires_lde, zs_pp_lde, q_lde, x_lde = map(
+                cut, (cs_full, wires_full, zs_full, q_full, x_full))
+        else:
+            cs_lde, wires_lde, zs_pp_lde, q_lde, x_lde = (
+                cs_full, wires_full, zs_full, q_full, x_full)
         # all *_a are traced (2,) u64 extension values.  The four oracles
         # stay separate (concatenating them would allocate an extra
         # full-batch copy — an OOM at 2^18+) and fold with per-oracle
@@ -301,11 +318,10 @@ def _make_kernels(common):
         step = N if single_chunk else M
         outs = []
         for s0 in range(0, N, step):
-            sl = slice(s0, s0 + step)
             outs.append(composite_chunk(
-                cs_lde[:, sl], wires_lde[:, sl], zs_pp_lde[:, sl],
-                q_lde[:, sl], fri_alpha_a, zeta_a, zeta_next_a, o0_a, o1_a,
-                alpha_b0_a, x_lde[sl]))
+                cs_lde, wires_lde, zs_pp_lde, q_lde, fri_alpha_a, zeta_a,
+                zeta_next_a, o0_a, o1_a, alpha_b0_a, x_lde,
+                jnp.int32(s0), step))
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     return {"z_phase": z_phase, "quotient_phase": quotient_phase,
@@ -389,6 +405,7 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     nr = cfg.num_routed_wires
     kernels = get_kernels(pd)
     pl = _MeshPlacer(mesh) if mesh is not None else _NullPlacer()
+    th = cfg.transcript_module()
 
     # ---- 1. witness ----
     from ..utils import timed_span
@@ -418,10 +435,10 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
         wires_coeffs, wires_lde = _lde_commit(pl.polys(wires_host), rate)
         wires_coeffs = pl.unpad(wires_coeffs, cfg.num_wires)
         wires_lde = pl.rows(pl.unpad(wires_lde, cfg.num_wires))
-        wires_tree = MerkleTree.build_cols(wires_lde, fri_cfg.cap_height)
+        wires_tree = MerkleTree.build_cols(wires_lde, fri_cfg.cap_height, th)
         wires_tree.cap_host()
 
-    ch = Challenger()
+    ch = Challenger(th)
     ch.observe_cap(pd.cs_tree.cap_host())
     ch.observe_elements(pi_hash)
     ch.observe_cap(wires_tree.cap_host())
@@ -440,7 +457,7 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
         zs_pp_coeffs, zs_pp_lde = _lde_commit(pl.polys(zs_pp_vals), rate)
         zs_pp_coeffs = pl.unpad(zs_pp_coeffs, n_zspp)
         zs_pp_lde = pl.rows(pl.unpad(zs_pp_lde, n_zspp))
-        zs_tree = MerkleTree.build_cols(zs_pp_lde, fri_cfg.cap_height)
+        zs_tree = MerkleTree.build_cols(zs_pp_lde, fri_cfg.cap_height, th)
         zs_tree.cap_host()
     ch.observe_cap(zs_tree.cap_host())
     alphas = ch.get_n_challenges(nc)
@@ -471,7 +488,7 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
             gl.to_u64(pi_hash), sinv_pows, single_chunk=mesh is not None,
             replicate=pl.replicate if mesh is not None else None)
         q_lde = pl.rows(q_lde)
-        q_tree = MerkleTree.build_cols(q_lde, fri_cfg.cap_height)
+        q_tree = MerkleTree.build_cols(q_lde, fri_cfg.cap_height, th)
         q_tree.cap_host()
     ch.observe_cap(q_tree.cap_host())
     zeta = ch.get_ext_challenge()
@@ -512,7 +529,7 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
             _ext_arr(zeta), _ext_arr(zeta_next), _ext_arr(o0), _ext_arr(o1),
             _ext_arr(alpha_b0), x_lde, single_chunk=mesh is not None)
         fri = fri_prove(composite, common.degree_bits, fri_cfg, ch, COSET_SHIFT,
-                        [pd.cs_tree, wires_tree, zs_tree, q_tree])
+                        [pd.cs_tree, wires_tree, zs_tree, q_tree], th)
 
     return Proof(
         wires_cap=wires_tree.cap_host(),

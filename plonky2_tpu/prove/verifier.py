@@ -32,7 +32,7 @@ def verify(vd, proof: Proof) -> None:
         [v % gl.P for v in proof.public_inputs])
 
     # ---- challenger replay ----
-    ch = Challenger()
+    ch = Challenger(cfg.transcript_module())
     ch.observe_cap(vd.cs_cap)
     ch.observe_elements(pi_hash)
     ch.observe_cap(proof.wires_cap)
@@ -171,4 +171,4 @@ def verify(vd, proof: Proof) -> None:
     initial_caps = [vd.cs_cap, proof.wires_cap, proof.zs_pp_cap,
                     proof.quotient_cap]
     fri_verify(proof.fri, common.degree_bits, fri_cfg, ch, COSET_SHIFT,
-               initial_caps, combine_fn)
+               initial_caps, combine_fn, cfg.transcript_module())

@@ -471,6 +471,11 @@ def add_proof_verification(b, vd) -> ProofTarget:
     """Convenience: allocate targets, emit the verification constraints,
     return the ProofTarget; caller binds a concrete proof with
     `set_proof_witness`."""
+    # In-circuit verification replays the transcript with the algebraic
+    # (Poseidon) hasher — same restriction as plonky2, whose
+    # KeccakGoldilocksConfig proofs are not recursively verifiable.
+    assert vd.common.config.transcript_hasher == "poseidon", (
+        "recursive verification requires the Poseidon transcript hasher")
     pt = add_virtual_proof_target(b, vd.common)
     verify_proof_circuit(b, vd, pt)
     return pt

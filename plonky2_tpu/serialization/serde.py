@@ -226,17 +226,20 @@ def _write_config(buf: Buffer, cfg: CircuitConfig) -> None:
               f.num_query_rounds, f.arity_bits, f.final_poly_bits):
         buf.write_u32(v)
     buf.write_str(cfg.algebraic_hasher)
+    buf.write_str(cfg.transcript_hasher)
 
 
 def _read_config(buf: Buffer) -> CircuitConfig:
     vals = [buf.read_u32() for _ in range(6)]
     fvals = [buf.read_u32() for _ in range(6)]
     hasher = buf.read_str()
+    t_hasher = buf.read_str()
     return CircuitConfig(num_wires=vals[0], num_routed_wires=vals[1],
                          num_constants=vals[2], num_challenges=vals[3],
                          security_bits=vals[4],
                          max_quotient_degree_factor=vals[5],
-                         fri=FriConfig(*fvals), algebraic_hasher=hasher)
+                         fri=FriConfig(*fvals), algebraic_hasher=hasher,
+                         transcript_hasher=t_hasher)
 
 
 def serialize_verifier_data(vd: VerifierData) -> bytes:

@@ -22,8 +22,12 @@ from ..hashes import poseidon
 
 
 class Challenger:
-    def __init__(self):
-        self.sponge_state = [0] * poseidon.WIDTH
+    def __init__(self, hasher=poseidon):
+        # hasher: a module with the sponge surface of hashes/poseidon.py
+        # (permute_s/WIDTH/RATE/HASH_OUT) — poseidon by default, the
+        # keccak transcript hasher for KeccakGoldilocksConfig
+        self.hasher = hasher
+        self.sponge_state = [0] * hasher.WIDTH
         self.input_buffer: list[int] = []
         self.output_buffer: list[int] = []
 
@@ -32,7 +36,7 @@ class Challenger:
     def observe_element(self, x: int):
         self.output_buffer.clear()          # pending inputs invalidate outputs
         self.input_buffer.append(x)
-        if len(self.input_buffer) == poseidon.RATE:
+        if len(self.input_buffer) == self.hasher.RATE:
             self._duplex()
 
     def observe_elements(self, xs):
@@ -43,7 +47,7 @@ class Challenger:
         self.observe_elements(x)
 
     def observe_hash(self, h):
-        assert len(h) == poseidon.HASH_OUT
+        assert len(h) == self.hasher.HASH_OUT
         self.observe_elements(h)
 
     def observe_cap(self, cap):
@@ -55,8 +59,8 @@ class Challenger:
     def _duplex(self):
         buf = self.input_buffer
         self.sponge_state[: len(buf)] = buf
-        self.sponge_state = poseidon.permute_s(self.sponge_state)
-        self.output_buffer = self.sponge_state[: poseidon.RATE].copy()
+        self.sponge_state = self.hasher.permute_s(self.sponge_state)
+        self.output_buffer = self.sponge_state[: self.hasher.RATE].copy()
         self.input_buffer = []
 
     # ---------------- challenges ----------------
@@ -77,7 +81,7 @@ class Challenger:
     # ---------------- cloning (for PoW grind) ----------------
 
     def clone(self) -> "Challenger":
-        c = Challenger()
+        c = Challenger(self.hasher)
         c.sponge_state = self.sponge_state.copy()
         c.input_buffer = self.input_buffer.copy()
         c.output_buffer = self.output_buffer.copy()
