@@ -472,7 +472,9 @@ class CircuitBuilder:
     # ---------------- build ----------------
 
     def build(self):
+        from ..gates.lookup import finalize_lookup_tables
         from ..prove.compile import compile_circuit
+        finalize_lookup_tables(self)   # place lookup/table rows + mult hints
         data = compile_circuit(self)   # placement of PI/padding happens inside
         self._built = True
         return data

@@ -103,6 +103,13 @@ def _make_kernels(common):
     nr = cfg.num_routed_wires
     qf = cfg.max_quotient_degree_factor
     K = common.num_partial_products + 1
+    from ..gates.lookup import lookup_info
+    lki = lookup_info(common)
+    n_zb = nc + nc * (K - 1)                 # lookup block base in zs oracle
+    pcc = lki.get("polys_per_challenge", 0)
+    r1_idx = list(range(nc))                 # polys opened at zeta*g
+    if lki["has"]:
+        r1_idx += [n_zb + c * pcc + lki["k"] for c in range(nc)]
 
     def _chunk_products(num, den):
         pad = K * qf - nr
@@ -139,10 +146,37 @@ def _make_kernels(common):
                 pps.append(acc)
         return jnp.stack(zs + pps, axis=0)
 
+    @jax.jit
+    def lookup_phase(routed, lk_masks, tb_masks, lams, lgams):
+        """logUp helper polys over H (gates/lookup.py): per challenge,
+        per-slot A_s = mu_s/(lgam - (x + lam*y)) (one batched inverse) and
+        the exclusive running sum S (one associative scan).
+        routed [nr, n]; masks [k, n] hold the per-row filter constants."""
+        outs = []
+        for c in range(nc):
+            lam, lgam = lams[c], lgams[c]
+            As = []
+            for s in range(lki["k"]):
+                x = routed[3 * s]
+                y = routed[3 * s + 1]
+                m = routed[3 * s + 2]
+                combo = gl.add(x, gl.mul(lam, y))
+                denom = gl.sub(lgam, combo)
+                mu = gl.sub(gl.mul(tb_masks[s], m), lk_masks[s])
+                As.append(gl.mul(mu, gl.inv(denom)))
+            tot = As[0]
+            for a_ in As[1:]:
+                tot = gl.add(tot, a_)
+            incl = jax.lax.associative_scan(gl.add, tot)
+            zero1 = jnp.zeros((1,), dtype=gl.DTYPE)
+            S = jnp.concatenate([zero1, incl[:-1]])
+            outs.extend(As + [S])
+        return jnp.stack(outs, axis=0)
+
     @functools.partial(jax.jit, static_argnames=("m",))
     def quotient_chunk(wires_lde, sel_lde, const_lde, sigma_lde, zs_lde,
                        zs_next, x_lde, zh_inv, l1, k_arr, betas, gammas,
-                       alphas, pi_hash_arr, s0, m: int):
+                       alphas, lams, lgams, pi_hash_arr, s0, m: int):
         # One domain chunk [*, m] starting at s0 -> [nc, m] quotient values.
         # Slicing happens INSIDE the kernel (lax.dynamic_slice on a traced
         # start): eager out-of-jit slices are separate dispatches that copy
@@ -185,6 +219,47 @@ def _make_kernels(common):
             for m in range(K):
                 vterms.append(gl.sub(gl.mul(accs[m + 1], pdn[m]),
                                      gl.mul(accs[m], pn[m])))
+            if lki["has"]:
+                # logUp terms (gates/lookup.py): boundary L1*S, per-slot
+                # A*(lgam-combo) - mu, and the S running-sum transition
+                kk_ = lki["k"]
+                S = zs_c[n_zb + c * pcc + kk_]
+                S_next = zs_next_c[n_zb + c * pcc + kk_]
+                lam, lgam = lams[c], lgams[c]
+                vterms.append(gl.mul(l1_c, S))
+
+                def filt_of(gi):
+                    si = common.selector_info
+                    sv = sel_c[si.gate_group[gi]]
+                    f = one
+                    for other in si.groups[si.gate_group[gi]]:
+                        if other != gi:
+                            f = gl.mul(f, gl.sub(
+                                jnp.full_like(sv, gl.U64(other)), sv))
+                    if len(si.groups) > 1:
+                        f = gl.mul(f, gl.sub(
+                            jnp.full_like(sv, gl.U64(si.unused)), sv))
+                    return f
+
+                lk_filts = {gi: filt_of(gi) for gi, _, _ in lki["lk"]}
+                tb_filts = {gi: filt_of(gi) for gi, _, _ in lki["tb"]}
+                sumA = None
+                for s in range(kk_):
+                    A = zs_c[n_zb + c * pcc + s]
+                    x_w = wires_c[3 * s]
+                    y_w = wires_c[3 * s + 1]
+                    m_w = wires_c[3 * s + 2]
+                    combo = gl.add(x_w, gl.mul(lam, y_w))
+                    mu = jnp.zeros_like(x_w)
+                    for gi, ns, _ in lki["tb"]:
+                        if s < ns:
+                            mu = gl.add(mu, gl.mul(tb_filts[gi], m_w))
+                    for gi, ns, _ in lki["lk"]:
+                        if s < ns:
+                            mu = gl.sub(mu, lk_filts[gi])
+                    vterms.append(gl.sub(gl.mul(A, gl.sub(lgam, combo)), mu))
+                    sumA = A if sumA is None else gl.add(sumA, A)
+                vterms.append(gl.sub(gl.sub(S_next, S), sumA))
 
         T0 = len(vterms)
         maxc = max((g.num_constraints for g in common.gates), default=0)
@@ -230,7 +305,7 @@ def _make_kernels(common):
 
     @jax.jit
     def zs_next_roll(zs_pp_lde):
-        return jnp.roll(zs_pp_lde[:nc], -(1 << rate), axis=-1)
+        return jnp.roll(zs_pp_lde, -(1 << rate), axis=-1)
 
     @jax.jit
     def quotient_finish(tq, sinv_pows):
@@ -247,8 +322,8 @@ def _make_kernels(common):
 
     def quotient_phase(wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde,
                        x_lde, zh_inv, l1, k_arr, betas, gammas, alphas,
-                       pi_hash_arr, sinv_pows, single_chunk=False,
-                       replicate=None):
+                       lams, lgams, pi_hash_arr, sinv_pows,
+                       single_chunk=False, replicate=None):
         zs_next = zs_next_roll(zs_pp_lde)
         step = N if single_chunk else M
         outs = []
@@ -256,7 +331,7 @@ def _make_kernels(common):
             outs.append(quotient_chunk(
                 wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde,
                 zs_next, x_lde, zh_inv, l1, k_arr, betas, gammas,
-                alphas, pi_hash_arr, jnp.int32(s0), step))
+                alphas, lams, lgams, pi_hash_arr, jnp.int32(s0), step))
         tq = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         if replicate is not None:
             # nc (=2) polys can't poly-shard: replicate the small [nc, N]
@@ -301,7 +376,8 @@ def _make_kernels(common):
             r0 = part if r0 is None else ext.add(r0, part)
             off = ext.mul(off[None, :], _power_ladder_ext(
                 fri_alpha_a, polys.shape[0] + 1)[polys.shape[0]][None, :])[0]
-        r1 = reduce_alpha(zs_pp_lde[:nc], one_e)
+        r1 = reduce_alpha(jnp.take(zs_pp_lde, jnp.asarray(r1_idx), axis=0),
+                          one_e)
         inv0 = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_a, x_ext.shape)))
         inv1 = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_next_a, x_ext.shape)))
         f0 = ext.mul(ext.sub(r0, jnp.broadcast_to(o0_a, x_ext.shape)), inv0)
@@ -325,7 +401,32 @@ def _make_kernels(common):
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     return {"z_phase": z_phase, "quotient_phase": quotient_phase,
-            "composite": composite}
+            "composite": composite, "lookup_phase": lookup_phase,
+            "lki": lki, "r1_idx": r1_idx}
+
+
+def _lookup_masks(pd, lki):
+    """Per-slot [k, n] row masks holding the selector-filter constants
+    (gates/lookup.py lookup_info): lk_masks[s][r] = kappa_gi on rows of
+    lookup gate gi with num_slots > s; tb_masks likewise.  Cached on pd."""
+    cached = getattr(pd, "_lookup_masks", None)
+    if cached is not None:
+        return cached
+    n = len(pd.row_gate)
+    k = lki["k"]
+    row_gate = np.asarray(pd.row_gate, dtype=np.int64)
+    lk = np.zeros((k, n), dtype=np.uint64)
+    tb = np.zeros((k, n), dtype=np.uint64)
+    for gi, ns, kappa in lki["lk"]:
+        rows = row_gate == gi
+        for s in range(ns):
+            lk[s][rows] = kappa
+    for gi, ns, kappa in lki["tb"]:
+        rows = row_gate == gi
+        for s in range(ns):
+            tb[s][rows] = kappa
+    pd._lookup_masks = (lk, tb)
+    return pd._lookup_masks
 
 
 # ------------------------------------------------------------------
@@ -444,15 +545,28 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     ch.observe_cap(wires_tree.cap_host())
     betas = ch.get_n_challenges(nc)
     gammas = ch.get_n_challenges(nc)
+    lki = kernels["lki"]
+    if lki["has"]:
+        lams = ch.get_n_challenges(nc)
+        lgams = ch.get_n_challenges(nc)
+    else:
+        lams, lgams = [0] * nc, [0] * nc
 
     # ---- 3. Z polys + partial products over H ----
     g_pows = jnp.asarray(host_powers(
         gl.primitive_root_of_unity(common.degree_bits), n))
     k_arr = gl.to_u64(common.k_is)
     with timed_span("permutation Z polys + commit"):
+        routed_rows = pl.rows(wires_host[:nr])
         zs_pp_vals = kernels["z_phase"](
-            pl.rows(wires_host[:nr]), pl.rows(pd.sigma_polys), k_arr,
+            routed_rows, pl.rows(pd.sigma_polys), k_arr,
             pl.rows(g_pows), gl.to_u64(betas), gl.to_u64(gammas))
+        if lki["has"]:
+            lk_masks, tb_masks = _lookup_masks(pd, lki)
+            lk_vals = kernels["lookup_phase"](
+                routed_rows, pl.rows(lk_masks), pl.rows(tb_masks),
+                gl.to_u64(lams), gl.to_u64(lgams))
+            zs_pp_vals = jnp.concatenate([zs_pp_vals, lk_vals], axis=0)
         n_zspp = zs_pp_vals.shape[0]
         zs_pp_coeffs, zs_pp_lde = _lde_commit(pl.polys(zs_pp_vals), rate)
         zs_pp_coeffs = pl.unpad(zs_pp_coeffs, n_zspp)
@@ -485,6 +599,7 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
         q_polys, q_lde = kernels["quotient_phase"](
             wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde, x_lde, zh_inv,
             l1, k_arr, gl.to_u64(betas), gl.to_u64(gammas), gl.to_u64(alphas),
+            gl.to_u64(lams), gl.to_u64(lgams),
             gl.to_u64(pi_hash), sinv_pows, single_chunk=mesh is not None,
             replicate=pl.replicate if mesh is not None else None)
         q_lde = pl.rows(q_lde)
@@ -505,7 +620,9 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
         cs_open = open_at(pd.cs_coeffs, zeta)
         wires_open = open_at(wires_coeffs, zeta)
         zs_pp_open = open_at(zs_pp_coeffs, zeta)
-        zs_next_open = open_at(zs_pp_coeffs[:nc], zeta_next)
+        zs_next_open = open_at(
+            jnp.take(zs_pp_coeffs, jnp.asarray(kernels["r1_idx"]), axis=0),
+            zeta_next)
         q_open = open_at(q_polys, zeta)
 
     openings = OpeningSet(cs_open, wires_open, zs_pp_open, zs_next_open, q_open)

@@ -35,6 +35,16 @@ def _poseidon2_gate():
     return Poseidon2Gate()
 
 
+def _lookup(a):
+    from ..gates.lookup import LookupGate
+    return LookupGate(a["num_slots"])
+
+
+def _lookup_table(a):
+    from ..gates.lookup import LookupTableGate
+    return LookupTableGate(a["num_slots"])
+
+
 def _registry():
     from ..gates import (ArithmeticGate, ConstantGate, NoopGate,
                          PoseidonGate, PublicInputGate)
@@ -46,6 +56,8 @@ def _registry():
                                         UninterleaveToU32Gate)
     return {
         "Arithmetic": lambda a: ArithmeticGate(num_ops=a["num_ops"]),
+        "Lookup": _lookup,
+        "LookupTable": _lookup_table,
         "BaseSum": lambda a: BaseSumGate(a["base"], a["limbs"]),
         "Constant": lambda a: ConstantGate(num_consts=a["num_consts"]),
         "PublicInput": lambda a: PublicInputGate(),

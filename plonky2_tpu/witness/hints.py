@@ -124,3 +124,31 @@ def _glv_decompose(p, vals):
     m1, n1, m2, n2 = secp.glv_decompose(kv)
     return (_limbs_of(m1, p["n1"]) + _limbs_of(m2, p["n2"])
             + [int(n1), int(n2)])
+
+
+@hint_fn("lookup_out")
+def _lookup_out(p, vals):
+    table = {int(a): int(b) for a, b in p["table"]}
+    x = vals[0]
+    if x not in table:
+        raise ValueError(f"lookup input {x} not in table")
+    return [table[x]]
+
+
+@hint_fn("lookup_mults")
+def _lookup_mults(p, vals):
+    """vals = every looked-up input; outs = per-table-slot multiplicities.
+    Duplicate slots (padding repeats entries) put the full count on the
+    first slot holding a value."""
+    from collections import Counter
+    counts = Counter(vals)
+    out = []
+    seen = set()
+    for t in p["table_in"]:
+        t = int(t)
+        if t in seen:
+            out.append(0)
+        else:
+            seen.add(t)
+            out.append(counts.get(t, 0))
+    return out
