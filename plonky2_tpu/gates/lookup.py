@@ -206,7 +206,13 @@ def _attach():
     CircuitBuilder.finalize_lookup_tables = finalize_lookup_tables
 
 
-_attach()
+try:
+    _attach()
+except ImportError:
+    # gates/__init__ was pulled in *by* ir.builder's own import — builder
+    # isn't defined yet; builder calls _attach() itself at the end of its
+    # module body in that case.
+    pass
 
 
 # ------------------------------------------------------------------

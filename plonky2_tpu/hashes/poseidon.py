@@ -219,7 +219,14 @@ def permute_cols(s):
     TPU layout note: with the batch on the *minor* axis every elementwise
     op runs at full 128-lane VPU width; the [B, 12] layout leaves 116 of
     128 lanes idle per tile.  This is the prover-side hot variant (Merkle
-    leaf hashing, PoW grind)."""
+    leaf hashing, PoW grind).
+
+    On TPU, wide batches dispatch to the VMEM-resident Pallas kernel
+    (`pallas_poseidon`): all 30 rounds on-chip, one HBM read + write."""
+    if s.ndim == 2 and s.shape[1] >= 512:
+        from . import pallas_poseidon
+        if pallas_poseidon.use_pallas():
+            return pallas_poseidon.permute_cols_pallas(s)
     r = 0
     for _ in range(FULL_ROUNDS // 2):
         s = gl.add(s, _RC_DEV[r][:, None])

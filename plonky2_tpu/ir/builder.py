@@ -478,3 +478,10 @@ class CircuitBuilder:
         data = compile_circuit(self)   # placement of PI/padding happens inside
         self._built = True
         return data
+
+
+# Late-bind the lookup-gadget builder methods: when this module is imported
+# first, gates/__init__ (imported above) ran before CircuitBuilder existed
+# and its _attach() was deferred to here.
+from ..gates import lookup as _lookup_gates  # noqa: E402
+_lookup_gates._attach()
