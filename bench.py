@@ -20,15 +20,24 @@ numbers — BASELINE.md).  Prove times have no reference measurement to
 compare against (the Rust toolchain does not exist in this image); they
 are recorded as absolute walls.
 
+The headline JSON line re-prints after EVERY config (last line wins):
+a run cut short by a driver timeout still records every config that
+finished (round-3 lesson: one JSON at the end lost everything to rc=124).
+
 Env knobs:
-  PLONKY2_TPU_BENCH_CONFIGS  comma list among {1,2,3,4}; default "1,2,3,4"
-  PLONKY2_TPU_BENCH_SKIP_NTT set to 1 to skip the microbenches
+  PLONKY2_TPU_BENCH_CONFIGS   comma list among {1,2,3,4,5}; default all
+  PLONKY2_TPU_BENCH_SKIP_NTT  set to 1 to skip the microbenches
+  PLONKY2_TPU_BENCH_BUDGET_S  wall budget; configs not started before it
+                              elapses are recorded as skipped (default 3000)
 """
 
 import json
 import os
 import sys
 import time
+
+_T_START = time.perf_counter()
+_BUDGET_S = float(os.environ.get("PLONKY2_TPU_BENCH_BUDGET_S", "3000"))
 
 
 def _bench_ntt():
@@ -151,9 +160,35 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr, flush=True)
 
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline_cpu.json")
+
+    def emit(ntt_rate, proves):
+        # vs_baseline compares against a JAX-on-CPU measurement taken on
+        # THIS host (benchmarks/measure_cpu_baseline.py) — NOT the Rust
+        # reference (which publishes no numbers and has no toolchain in
+        # this image); baseline_kind makes that self-describing.
+        vs = 1.0
+        if ntt_rate and os.path.exists(base_path):
+            with open(base_path) as f:
+                cpu = json.load(f)
+            if cpu.get("ntt_elems_per_sec"):
+                vs = ntt_rate / cpu["ntt_elems_per_sec"]
+        print(json.dumps({
+            "metric": "goldilocks_ntt_elems_per_sec_per_chip",
+            "value": round(ntt_rate, 1),
+            "unit": "elems/s",
+            "vs_baseline": round(vs, 3),
+            "baseline_kind": "jax_cpu_this_host",
+            "elapsed_s": round(time.perf_counter() - _T_START, 1),
+            "proves": proves,
+        }), flush=True)
+
     ntt_rate = 0.0
+    proves = {}
     if os.environ.get("PLONKY2_TPU_BENCH_SKIP_NTT") != "1":
         ntt_rate = _bench_ntt()
+        emit(ntt_rate, proves)
 
     from plonky2_tpu.bench import (build_ecdsa, build_poseidon_chain,
                                    build_smt_process, build_u32_mix)
@@ -164,9 +199,14 @@ def main():
         "3": (build_smt_process, {"degree_bits": 14, "n_levels": 32}),
         "4": (build_ecdsa, {"batch": 1}),
     }
-    proves = {}
     for k in which:
         k = k.strip()
+        elapsed = time.perf_counter() - _T_START
+        if elapsed > _BUDGET_S:
+            print(f"# config {k} skipped: budget ({elapsed:.0f}s > "
+                  f"{_BUDGET_S:.0f}s)", file=sys.stderr, flush=True)
+            proves[f"config_{k}"] = {"skipped": "budget"}
+            continue
         try:
             if k in configs:
                 fn, kw = configs[k]
@@ -186,23 +226,9 @@ def main():
             import gc
             sys.last_traceback = None
             gc.collect()
+        emit(ntt_rate, proves)
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "benchmarks", "baseline_cpu.json")
-    vs = 1.0
-    if ntt_rate and os.path.exists(base_path):
-        with open(base_path) as f:
-            cpu = json.load(f)
-        if cpu.get("ntt_elems_per_sec"):
-            vs = ntt_rate / cpu["ntt_elems_per_sec"]
-
-    print(json.dumps({
-        "metric": "goldilocks_ntt_elems_per_sec_per_chip",
-        "value": round(ntt_rate, 1),
-        "unit": "elems/s",
-        "vs_baseline": round(vs, 3),
-        "proves": proves,
-    }))
+    emit(ntt_rate, proves)
 
 
 if __name__ == "__main__":

@@ -234,7 +234,16 @@ def _filter_const(sel_info, gi: int) -> int:
 
 def lookup_info(common):
     """Lookup structure of a compiled circuit: gate indices, slot count,
-    per-gate filter constants.  Empty dict when the circuit has no lookups."""
+    per-gate *inverse* filter constants.  Empty dict when the circuit has
+    no lookups.
+
+    The third tuple element is kappa^-1 where kappa is the value the
+    selector filter takes on the gate's own rows: the logUp terms use the
+    NORMALIZED filter filt_gi(x)/kappa (= 1 on active rows, 0 elsewhere on
+    H) so lookup and table contributions carry identical unit weights —
+    with raw filters the two gate types would weight the two sides of the
+    multiset equation by different constants and the grand sum could never
+    telescope to zero."""
     lk = [(gi, g.num_slots) for gi, g in enumerate(common.gates)
           if isinstance(g, LookupGate)]
     tb = [(gi, g.num_slots) for gi, g in enumerate(common.gates)
@@ -243,11 +252,15 @@ def lookup_info(common):
         return {"has": False, "k": 0}
     k = max(ns for _, ns in lk + tb)
     sel = common.selector_info
+
+    def kinv(gi):
+        return pow(_filter_const(sel, gi), gl.P - 2, gl.P)
+
     return {
         "has": True,
         "k": k,
-        "lk": [(gi, ns, _filter_const(sel, gi)) for gi, ns in lk],
-        "tb": [(gi, ns, _filter_const(sel, gi)) for gi, ns in tb],
+        "lk": [(gi, ns, kinv(gi)) for gi, ns in lk],
+        "tb": [(gi, ns, kinv(gi)) for gi, ns in tb],
         # zs-oracle row layout: per challenge block [A_0..A_{k-1}, S]
         # starting after the Z + partial-product rows
         "polys_per_challenge": k + 1,

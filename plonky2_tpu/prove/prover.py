@@ -241,8 +241,12 @@ def _make_kernels(common):
                             jnp.full_like(sv, gl.U64(si.unused)), sv))
                     return f
 
-                lk_filts = {gi: filt_of(gi) for gi, _, _ in lki["lk"]}
-                tb_filts = {gi: filt_of(gi) for gi, _, _ in lki["tb"]}
+                # normalized filters: filt_gi(x) * kappa^-1 == the 0/1
+                # masks of lookup_phase on H (see lookup_info docstring)
+                lk_filts = {gi: gl.mul(filt_of(gi), gl.U64(kinv))
+                            for gi, _, kinv in lki["lk"]}
+                tb_filts = {gi: gl.mul(filt_of(gi), gl.U64(kinv))
+                            for gi, _, kinv in lki["tb"]}
                 sumA = None
                 for s in range(kk_):
                     A = zs_c[n_zb + c * pcc + s]
@@ -406,9 +410,10 @@ def _make_kernels(common):
 
 
 def _lookup_masks(pd, lki):
-    """Per-slot [k, n] row masks holding the selector-filter constants
-    (gates/lookup.py lookup_info): lk_masks[s][r] = kappa_gi on rows of
-    lookup gate gi with num_slots > s; tb_masks likewise.  Cached on pd."""
+    """Per-slot [k, n] 0/1 row masks (gates/lookup.py lookup_info):
+    lk_masks[s][r] = 1 on rows of lookup gate gi with num_slots > s;
+    tb_masks likewise.  Unit masks match the quotient's NORMALIZED
+    filters filt_gi(x)*kappa^-1 on H.  Cached on pd."""
     cached = getattr(pd, "_lookup_masks", None)
     if cached is not None:
         return cached
@@ -417,14 +422,14 @@ def _lookup_masks(pd, lki):
     row_gate = np.asarray(pd.row_gate, dtype=np.int64)
     lk = np.zeros((k, n), dtype=np.uint64)
     tb = np.zeros((k, n), dtype=np.uint64)
-    for gi, ns, kappa in lki["lk"]:
+    for gi, ns, _kinv in lki["lk"]:
         rows = row_gate == gi
         for s in range(ns):
-            lk[s][rows] = kappa
-    for gi, ns, kappa in lki["tb"]:
+            lk[s][rows] = 1
+    for gi, ns, _kinv in lki["tb"]:
         rows = row_gate == gi
         for s in range(ns):
-            tb[s][rows] = kappa
+            tb[s][rows] = 1
     pd._lookup_masks = (lk, tb)
     return pd._lookup_masks
 

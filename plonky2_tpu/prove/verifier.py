@@ -38,6 +38,11 @@ def verify(vd, proof: Proof) -> None:
     ch.observe_cap(proof.wires_cap)
     betas = ch.get_n_challenges(nc)
     gammas = ch.get_n_challenges(nc)
+    from ..gates.lookup import lookup_info
+    lki = lookup_info(common)
+    if lki["has"]:
+        lams = ch.get_n_challenges(nc)
+        lgams = ch.get_n_challenges(nc)
     ch.observe_cap(proof.zs_pp_cap)
     alphas = ch.get_n_challenges(nc)
     ch.observe_cap(proof.quotient_cap)
@@ -54,11 +59,16 @@ def verify(vd, proof: Proof) -> None:
               o.constants_sigmas[sel_count:sel_count + common.num_constants_polys]]
     sigmas = [tuple(e) for e in o.constants_sigmas[sel_count + common.num_constants_polys:]]
     wires = [tuple(e) for e in o.wires]
-    zs = [tuple(e) for e in o.zs_partial_products[:nc]]
-    pps = [tuple(e) for e in o.zs_partial_products[nc:]]
+    zspp = [tuple(e) for e in o.zs_partial_products]
+    zs = zspp[:nc]
+    pps = zspp[nc:nc + nc * (K - 1)]
     zs_next = [tuple(e) for e in o.zs_next]
     quotient = [tuple(e) for e in o.quotient]
-    assert len(sigmas) == nr and len(zs_next) == nc
+    n_zb = nc + nc * (K - 1)                  # lookup block base (prover.py)
+    pcc = lki.get("polys_per_challenge", 0)
+    n_zspp = n_zb + (nc * pcc if lki["has"] else 0)
+    assert len(sigmas) == nr and len(zspp) == n_zspp
+    assert len(zs_next) == nc * (2 if lki["has"] else 1)
     assert len(quotient) == nc << fri_cfg.rate_bits
 
     # Z_H(zeta), L_1(zeta)
@@ -66,6 +76,21 @@ def verify(vd, proof: Proof) -> None:
     zh_zeta = ext.sub_s(zeta_pow_n, ext.ONE)
     l1_zeta = ext.mul_s(zh_zeta, ext.inv_s(
         ext.scalar_mul_s(ext.sub_s(zeta, ext.ONE), n)))
+
+    sel_info = common.selector_info
+    many = len(sel_info.groups) > 1
+
+    def filt_of(gi):
+        """Selector filter value at zeta for gate gi (same formula the
+        prover's quotient kernel and the gate-terms fold below use)."""
+        s = sels[sel_info.gate_group[gi]]
+        f = ext.ONE
+        for other in sel_info.groups[sel_info.gate_group[gi]]:
+            if other != gi:
+                f = ext.mul_s(f, ext.sub_s(ext.from_base_s(other), s))
+        if many:
+            f = ext.mul_s(f, ext.sub_s(ext.from_base_s(sel_info.unused), s))
+        return f
 
     terms = []
     for c in range(nc):
@@ -85,24 +110,41 @@ def verify(vd, proof: Proof) -> None:
                 pd_ = ext.mul_s(pd_, den_i)
             terms.append(ext.sub_s(ext.mul_s(accs[m + 1], pd_),
                                    ext.mul_s(accs[m], pn)))
+        if lki["has"]:
+            # logUp terms at zeta, in the prover kernel's exact order
+            # (prove/prover.py quotient_chunk): L1*S, per-slot
+            # A*(lgam - combo) - mu, then S_next - S - sum(A).
+            kk = lki["k"]
+            lam, lgam = lams[c], lgams[c]
+            S = zspp[n_zb + c * pcc + kk]
+            S_next = zs_next[nc + c]
+            terms.append(ext.mul_s(l1_zeta, S))
+            sum_a = ext.ZERO
+            for s in range(kk):
+                A = zspp[n_zb + c * pcc + s]
+                combo = ext.add_s(wires[3 * s],
+                                  ext.scalar_mul_s(wires[3 * s + 1], lam))
+                mu = ext.ZERO
+                for gi, ns, kinv in lki["tb"]:
+                    if s < ns:
+                        nf = ext.scalar_mul_s(filt_of(gi), kinv)
+                        mu = ext.add_s(mu, ext.mul_s(nf, wires[3 * s + 2]))
+                for gi, ns, kinv in lki["lk"]:
+                    if s < ns:
+                        mu = ext.sub_s(mu, ext.scalar_mul_s(filt_of(gi), kinv))
+                terms.append(ext.sub_s(
+                    ext.mul_s(A, ext.sub_s(ext.from_base_s(lgam), combo)), mu))
+                sum_a = ext.add_s(sum_a, A)
+            terms.append(ext.sub_s(ext.sub_s(S_next, S), sum_a))
 
     # gate terms
     alg = ExtAlg()
-    sel_info = common.selector_info
-    many = len(sel_info.groups) > 1
     max_constraints = max((g.num_constraints for g in common.gates), default=0)
     slots = [ext.ZERO] * max_constraints
     pi_hash_ext = [ext.from_base_s(h) for h in pi_hash]
     vars_ = EvalVars(wires, consts, pi_hash_ext)
     for gi, gate in enumerate(common.gates):
-        grp_idx = sel_info.gate_group[gi]
-        s = sels[grp_idx]
-        filt = ext.ONE
-        for other in sel_info.groups[grp_idx]:
-            if other != gi:
-                filt = ext.mul_s(filt, ext.sub_s(ext.from_base_s(other), s))
-        if many:
-            filt = ext.mul_s(filt, ext.sub_s(ext.from_base_s(sel_info.unused), s))
+        filt = filt_of(gi)
         for t_idx, cval in enumerate(gate.eval(vars_, alg)):
             slots[t_idx] = ext.add_s(slots[t_idx], ext.mul_s(filt, cval))
     terms.extend(slots)
@@ -142,8 +184,10 @@ def verify(vd, proof: Proof) -> None:
     cs_count = sel_count + common.num_constants_polys + nr
 
     nw = cfg.num_wires
-    n_zspp = nc + nc * (K - 1)
     n_q = nc << fri_cfg.rate_bits
+    r1_rows = list(range(nc))                 # rows opened at zeta*g
+    if lki["has"]:
+        r1_rows += [n_zb + c * pcc + lki["k"] for c in range(nc)]
 
     def combine_fn(idx, leaves):
         # Merkle leaves may carry zero padding past the logical column
@@ -159,7 +203,7 @@ def verify(vd, proof: Proof) -> None:
         for v in reversed(flat):
             r0 = ext.add_s(ext.mul_s(r0, fri_alpha), ext.from_base_s(v))
         r1 = ext.ZERO
-        for v in reversed(zs_leaf[:nc]):
+        for v in reversed([zs_leaf[i] for i in r1_rows]):
             r1 = ext.add_s(ext.mul_s(r1, fri_alpha), ext.from_base_s(v))
         x_e = ext.from_base_s(x)
         f0 = ext.mul_s(ext.sub_s(r0, o0),
