@@ -67,7 +67,8 @@ class LookupGate(Gate):
 
         return [LambdaGenerator([], fn,
                                 outs=[Wire(row, 3 * s + 2)
-                                      for s in range(ns)])]
+                                      for s in range(ns)],
+                                op=("consts",) + (gl.P - 1,) * ns)]
 
 
 class LookupTableGate(Gate):
@@ -120,7 +121,8 @@ class LookupTableGate(Gate):
 
         outs = [Wire(row, 3 * s + j)
                 for s in range(len(constants) // 2) for j in (0, 1)]
-        return [LambdaGenerator([], fn, outs=outs)]
+        return [LambdaGenerator([], fn, outs=outs,
+                                op=("consts",) + tuple(constants))]
 
 
 # ------------------------------------------------------------------

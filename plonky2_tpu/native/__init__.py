@@ -53,6 +53,13 @@ def lib():
         L.poseidon_rows.restype = None
         L.gl_mul_arr.argtypes = [u64p, u64p, u64p, ctypes.c_long]
         L.gl_mul_arr.restype = None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        L.tape_run.argtypes = [u64p, u8p, i32p, i64p, u64p, i32p, i32p,
+                               i32p, i32p, ctypes.c_long, ctypes.c_long,
+                               u64p, u64p, ctypes.c_int, ctypes.c_int, i64p]
+        L.tape_run.restype = ctypes.c_long
         _LIB = L
     except Exception:
         _LIB = None

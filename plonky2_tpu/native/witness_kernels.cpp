@@ -129,3 +129,185 @@ void gl_mul_arr(const u64* a, const u64* b, u64* out, long n) {
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------------
+// Static witness tape executor (witness/tape.py).
+//
+// The generator DAG is toposorted once per circuit into a flat opcode
+// tape; this loop executes the typed ops (u32 arithmetic, Goldilocks
+// mul-add, Poseidon rows, constant fills, base decompositions) directly
+// against the value array, returning to Python only at OP_PY escapes
+// (rare gadget hints).  Replaces the per-generator Python dataflow
+// scheduler on the hot path — the reference's analogue is its native
+// Rust generator closures (SURVEY.md §3.2 step 1).
+// ------------------------------------------------------------------
+
+enum TapeOp {
+    OP_PY = 0,
+    OP_U32MULADD = 1,    // deps x,y,z           -> lo, hi of x*y+z
+    OP_U32ADDMANY = 2,   // deps a0..an-1        -> lo, hi of sum
+    OP_U32SUB = 3,       // deps x,y,borrow_in   -> result, borrow_out
+    OP_CMP = 4,          // deps a,b             -> res, e, e limbs (base 4)
+    OP_ARITH = 5,        // deps x,y,z; upool c0,c1 -> c0*x*y + c1*z mod p
+    OP_CONSTS = 6,       // upool values         -> outs verbatim
+    OP_POSEIDON = 7,     // deps in0..11, swap   -> out0..11
+    OP_BASESUM = 8,      // dep s; upool base    -> limbs of s in base
+    OP_RANDACC = 9,      // deps idx, items...   -> idx bits, items[idx]
+};
+
+static inline bool tape_put(u64* values, uint8_t* has, int32_t slot, u64 v,
+                            long* err_slot) {
+    if (has[slot]) {
+        if (values[slot] != v) { *err_slot = slot; return false; }
+        return true;
+    }
+    values[slot] = v;
+    has[slot] = 1;
+    return true;
+}
+
+static void poseidon_out12(u64* s, u64 swap, const u64* rc, const u64* mds,
+                           int n_full_half, int n_partial) {
+    const int W = 12;
+    u64 tmp[12];
+    u64 delta[4];
+    for (int i = 0; i < 4; ++i) {
+        u64 a = s[4 + i], b = s[i];
+        u64 diff = a >= b ? a - b : a + P - b;
+        delta[i] = swap ? gl_mul(swap, diff) : 0;
+    }
+    for (int i = 0; i < 4; ++i) {
+        u64 a = s[4 + i], d = delta[i];
+        s[i] = gl_add(s[i], delta[i]);
+        s[4 + i] = a >= d ? a - d : a + P - d;
+    }
+    auto mds_layer = [&]() {
+        for (int i = 0; i < W; ++i) {
+            u128 acc = 0;
+            const u64* mrow = mds + i * W;
+            for (int j = 0; j < W; ++j) acc += (u128)mrow[j] * s[j];
+            tmp[i] = (u64)(acc % P);
+        }
+        std::memcpy(s, tmp, sizeof(tmp));
+    };
+    int r = 0;
+    for (int fr = 0; fr < n_full_half; ++fr, ++r) {
+        for (int i = 0; i < W; ++i) s[i] = gl_sbox(gl_add(s[i], rc[r * W + i]));
+        mds_layer();
+    }
+    for (int k = 0; k < n_partial; ++k, ++r) {
+        for (int i = 0; i < W; ++i) s[i] = gl_add(s[i], rc[r * W + i]);
+        s[0] = gl_sbox(s[0]);
+        mds_layer();
+    }
+    for (int fr = 0; fr < n_full_half; ++fr, ++r) {
+        for (int i = 0; i < W; ++i) s[i] = gl_sbox(gl_add(s[i], rc[r * W + i]));
+        mds_layer();
+    }
+}
+
+extern "C" {
+
+// Returns: index of an OP_PY entry to run in Python (caller resumes at
+// index+1), -1 when the tape is exhausted, -2 on a write conflict
+// (*err_slot holds the slot).  dep_off/out_off are prefix arrays of
+// length n_ops+1 into dep_slots/out_slots.
+long tape_run(u64* values, uint8_t* has,
+              const int32_t* code, const int64_t* uoff, const u64* upool,
+              const int32_t* dep_off, const int32_t* dep_slots,
+              const int32_t* out_off, const int32_t* out_slots,
+              long n_ops, long start,
+              const u64* rc, const u64* mds, int n_full_half, int n_partial,
+              long* err_slot) {
+    for (long i = start; i < n_ops; ++i) {
+        const int32_t* d = dep_slots + dep_off[i];
+        const int32_t* o = out_slots + out_off[i];
+        int nd = dep_off[i + 1] - dep_off[i];
+        int no = out_off[i + 1] - out_off[i];
+        switch (code[i]) {
+        case OP_PY:
+            return i;
+        case OP_U32MULADD: {
+            u64 r = values[d[0]] * values[d[1]] + values[d[2]];
+            if (!tape_put(values, has, o[0], r & 0xFFFFFFFFULL, err_slot) ||
+                !tape_put(values, has, o[1], r >> 32, err_slot)) return -2;
+            break;
+        }
+        case OP_U32ADDMANY: {
+            u64 s = 0;
+            for (int j = 0; j < nd; ++j) s += values[d[j]];
+            if (!tape_put(values, has, o[0], s & 0xFFFFFFFFULL, err_slot) ||
+                !tape_put(values, has, o[1], s >> 32, err_slot)) return -2;
+            break;
+        }
+        case OP_U32SUB: {
+            int64_t df = (int64_t)values[d[0]] - (int64_t)values[d[1]]
+                         - (int64_t)values[d[2]];
+            u64 bout = df < 0 ? 1 : 0;
+            u64 res = (u64)(df + (int64_t)(bout << 32));
+            if (!tape_put(values, has, o[0], res, err_slot) ||
+                !tape_put(values, has, o[1], bout, err_slot)) return -2;
+            break;
+        }
+        case OP_CMP: {
+            u64 a = values[d[0]], b = values[d[1]];
+            u64 res = a <= b ? 1 : 0;
+            u64 e = res ? b - a : a - b - 1;
+            if (!tape_put(values, has, o[0], res, err_slot) ||
+                !tape_put(values, has, o[1], e, err_slot)) return -2;
+            for (int j = 0; j < no - 2; ++j)
+                if (!tape_put(values, has, o[2 + j], (e >> (2 * j)) & 3,
+                              err_slot)) return -2;
+            break;
+        }
+        case OP_ARITH: {
+            const u64* c = upool + uoff[i];
+            u64 r = gl_add(gl_mul(gl_mul(c[0], values[d[0]]), values[d[1]]),
+                           gl_mul(c[1], values[d[2]]));
+            if (!tape_put(values, has, o[0], r, err_slot)) return -2;
+            break;
+        }
+        case OP_CONSTS: {
+            const u64* c = upool + uoff[i];
+            for (int j = 0; j < no; ++j)
+                if (!tape_put(values, has, o[j], c[j], err_slot)) return -2;
+            break;
+        }
+        case OP_POSEIDON: {
+            u64 s[12];
+            for (int j = 0; j < 12; ++j) s[j] = values[d[j]];
+            poseidon_out12(s, values[d[12]], rc, mds, n_full_half, n_partial);
+            for (int j = 0; j < 12; ++j)
+                if (!tape_put(values, has, o[j], s[j], err_slot)) return -2;
+            break;
+        }
+        case OP_BASESUM: {
+            u64 base = upool[uoff[i]];
+            u64 s = values[d[0]];
+            for (int j = 0; j < no; ++j) {
+                if (!tape_put(values, has, o[j], s % base, err_slot))
+                    return -2;
+                s /= base;
+            }
+            break;
+        }
+        case OP_RANDACC: {
+            u64 idx = values[d[0]];
+            int bits = no - 1;
+            for (int j = 0; j < bits; ++j)
+                if (!tape_put(values, has, o[j], (idx >> j) & 1, err_slot))
+                    return -2;
+            if ((long)idx >= nd - 1) { *err_slot = -1; return -2; }
+            if (!tape_put(values, has, o[bits], values[d[1 + idx]], err_slot))
+                return -2;
+            break;
+        }
+        default:
+            *err_slot = -1;
+            return -2;
+        }
+    }
+    return -1;
+}
+
+}  // extern "C"

@@ -170,9 +170,11 @@ def _compile_impl(builder) -> CircuitData:
     # copy-equivalence classes, keyed by representative
     universe = set(builder._parent.keys()) | set(builder._parent.values())
     classes: dict = {}
+    rep_map: dict = {}        # frozen union-find: item -> canonical rep
     for item in universe:
         rep = builder._find(item)
         classes.setdefault(rep, set()).update((item, rep))
+        rep_map[item] = rep
 
     # successor permutation as flat indices into the label table [nr, n]
     perm = np.arange(nr * n, dtype=np.int64).reshape(nr, n)
@@ -245,7 +247,10 @@ def _compile_impl(builder) -> CircuitData:
         cs_coeffs=cs_coeffs,
         cs_lde=cs_lde,
         cs_tree=cs_tree,
-        rep_of=builder._find,
+        # frozen flat map (one dict.get per lookup) — the witness scheduler
+        # calls this millions of times per prove; the live union-find's
+        # path-compression walk was ~35% of ECDSA witness generation
+        rep_of=lambda t, _m=rep_map: _m.get(t, t),
         generators=generators,
         gate_rows=gate_rows,
         row_gate=row_gate,

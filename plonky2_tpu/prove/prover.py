@@ -515,16 +515,26 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
 
     # ---- 1. witness ----
     from ..utils import timed_span
+    from ..witness.tape import TapeUnsupported, generate_witness_tape
     with timed_span("witness generation"):
-        store = generate_witness(pd, inputs)
+        store = None
+        try:
+            store = generate_witness_tape(pd, inputs)   # native engine
+        except TapeUnsupported:
+            store = None
+        if store is None:
+            store = generate_witness(pd, inputs)        # dynamic fallback
     from ..ir.builder import Wire
     with timed_span("witness scatter to wire matrix"):
-        wires_host = np.zeros((cfg.num_wires, n), dtype=np.uint64)
-        for rep, v in store._vals.items():
-            if isinstance(rep, Wire):
-                wires_host[rep.column, rep.row] = v
-            for w in pd.class_wires.get(rep, ()):
-                wires_host[w.column, w.row] = v
+        if hasattr(store, "scatter"):
+            wires_host = store.scatter(cfg.num_wires, n)
+        else:
+            wires_host = np.zeros((cfg.num_wires, n), dtype=np.uint64)
+            for rep, v in store._vals.items():
+                if isinstance(rep, Wire):
+                    wires_host[rep.column, rep.row] = v
+                for w in pd.class_wires.get(rep, ()):
+                    wires_host[w.column, w.row] = v
     with timed_span("witness aux fill (batched)"):
         for gi, gate in enumerate(common.gates):
             if hasattr(gate, "aux_fill"):

@@ -34,12 +34,13 @@ class Generator:
 
 
 class LambdaGenerator(Generator):
-    __slots__ = ("deps", "outs", "fn")
+    __slots__ = ("deps", "outs", "fn", "op")
 
-    def __init__(self, deps, fn, outs=()):
+    def __init__(self, deps, fn, outs=(), op=None):
         self.deps = deps
         self.outs = list(outs)
         self.fn = fn          # fn(values: list[int]) -> list[(target, value)]
+        self.op = op          # optional tape opcode spec (witness/tape.py)
 
     def run(self, get):
         return self.fn([get(d) for d in self.deps])
