@@ -45,7 +45,7 @@ def _bench_ntt():
     import jax.numpy as jnp
     import numpy as np
 
-    from plonky2_tpu.ntt import coset_lde, intt
+    from plonky2_tpu.ntt import lde_from_values_auto
 
     # 2^14 keeps first-process compile time bounded on the tunneled chip;
     # measured throughput matches 2^16 within 1% (both HBM-bound).
@@ -55,9 +55,10 @@ def _bench_ntt():
     wires = jnp.asarray(rng.randint(0, 1 << 62, size=(num_polys, n),
                                     dtype=np.uint64))
 
-    @jax.jit
     def lde_step(w):
-        return coset_lde(intt(w), rate)
+        # the prover's wire-commit path (fused Pallas kernel on TPU for
+        # VMEM-sized n, stage-wise XLA otherwise)
+        return lde_from_values_auto(w, rate)[1]
 
     lde_step(wires).block_until_ready()          # compile
     iters = 10

@@ -6,6 +6,7 @@ from .ntt import (  # noqa: F401
     eval_polys_at_ext,
     intt,
     lde_from_values,
+    lde_from_values_auto,
     lde_from_values_jit,
     ntt,
 )

@@ -119,6 +119,27 @@ def lde_from_values(values, rate_bits: int, shift: int = COSET_SHIFT):
 lde_from_values_jit = jax.jit(lde_from_values,
                               static_argnames=("rate_bits", "shift"))
 
+# Largest n the fused Pallas LDE kernel keeps resident in VMEM (per-poly
+# footprint ~ 8*n*(1 + 3*2^rate) bytes); above this the stage-wise XLA
+# path runs.  Overridable for tuning on real hardware.
+import os as _os
+PALLAS_LDE_MAX = int(_os.environ.get("PLONKY2_TPU_PALLAS_LDE_MAX",
+                                     str(1 << 14)))
+
+
+def lde_from_values_auto(values, rate_bits: int, shift: int = COSET_SHIFT):
+    """Values over H -> (coeffs, coset LDE): fused Pallas kernel on TPU for
+    VMEM-sized transforms (one HBM read + write per poly instead of a full
+    pass per butterfly stage), stage-wise XLA otherwise.  Unsharded inputs
+    only — mesh-sharded proves keep the XLA path (the poly-axis grid would
+    not partition)."""
+    from .pallas_lde import _supported, lde_from_values_pallas, use_pallas
+    n = values.shape[-1]
+    if (use_pallas() and _supported(n, rate_bits) and n <= PALLAS_LDE_MAX
+            and shift == COSET_SHIFT):
+        return lde_from_values_pallas(values, rate_bits, shift)
+    return lde_from_values_jit(values, rate_bits, shift)
+
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _eval_polys_kernel(coeffs, point_a, n: int):

@@ -548,7 +548,12 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     with timed_span("wire LDE + Merkle commit"):
         # poly-sharded transform, then one all-to-all into the
         # domain-sharded layout every later phase uses
-        wires_coeffs, wires_lde = _lde_commit(pl.polys(wires_host), rate)
+        if mesh is None:
+            from ..ntt import lde_from_values_auto
+            wires_coeffs, wires_lde = lde_from_values_auto(
+                jnp.asarray(wires_host), rate)
+        else:
+            wires_coeffs, wires_lde = _lde_commit(pl.polys(wires_host), rate)
         wires_coeffs = pl.unpad(wires_coeffs, cfg.num_wires)
         wires_lde = pl.rows(pl.unpad(wires_lde, cfg.num_wires))
         wires_tree = MerkleTree.build_cols(wires_lde, fri_cfg.cap_height, th)
@@ -583,7 +588,11 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
                 gl.to_u64(lams), gl.to_u64(lgams))
             zs_pp_vals = jnp.concatenate([zs_pp_vals, lk_vals], axis=0)
         n_zspp = zs_pp_vals.shape[0]
-        zs_pp_coeffs, zs_pp_lde = _lde_commit(pl.polys(zs_pp_vals), rate)
+        if mesh is None:
+            from ..ntt import lde_from_values_auto
+            zs_pp_coeffs, zs_pp_lde = lde_from_values_auto(zs_pp_vals, rate)
+        else:
+            zs_pp_coeffs, zs_pp_lde = _lde_commit(pl.polys(zs_pp_vals), rate)
         zs_pp_coeffs = pl.unpad(zs_pp_coeffs, n_zspp)
         zs_pp_lde = pl.rows(pl.unpad(zs_pp_lde, n_zspp))
         zs_tree = MerkleTree.build_cols(zs_pp_lde, fri_cfg.cap_height, th)
