@@ -37,10 +37,43 @@ from . import poseidon as P
 _M16 = np.uint32(0xFFFF)
 
 
+_RUNTIME_OK = None       # set False if the first real launch fails
+
+
+def _on_tpu_device() -> bool:
+    """True on real TPU hardware: the tunneled PJRT plugin reports
+    platform "axon" (not "tpu"), so check device_kind too."""
+    try:
+        d = jax.devices()[0]
+    except Exception:
+        return False
+    return ("tpu" in d.platform.lower()
+            or "tpu" in getattr(d, "device_kind", "").lower())
+
+
+def _probe() -> bool:
+    """One-time eager launch of a tiny kernel: Mosaic lowering on the
+    tunneled backend is unproven territory, and a failure inside an outer
+    jit would be unrecoverable — probe once, fall back globally."""
+    global _RUNTIME_OK
+    if _RUNTIME_OK is None:
+        try:
+            s = jnp.zeros((P.WIDTH, LANES_PROBE), dtype=jnp.uint64)
+            out = permute_cols_pallas(s, interpret=False)
+            want = P.permute_s([0] * P.WIDTH)
+            _RUNTIME_OK = [int(x) for x in np.asarray(out)[:, 0]] == list(want)
+        except Exception:
+            _RUNTIME_OK = False
+    return _RUNTIME_OK
+
+
+LANES_PROBE = 128
+
+
 def use_pallas() -> bool:
     if os.environ.get("PLONKY2_TPU_NO_PALLAS"):
         return False
-    return jax.default_backend() == "tpu" and P._MDS_SMALL
+    return _on_tpu_device() and P._MDS_SMALL and _probe()
 
 
 def _roll_rows(p, d, interpret):

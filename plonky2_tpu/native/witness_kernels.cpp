@@ -153,6 +153,8 @@ enum TapeOp {
     OP_POSEIDON = 7,     // deps in0..11, swap   -> out0..11
     OP_BASESUM = 8,      // dep s; upool base    -> limbs of s in base
     OP_RANDACC = 9,      // deps idx, items...   -> idx bits, items[idx]
+    OP_INTERLEAVE = 10,  // dep x (u32)          -> x_interleaved, 32 bits
+    OP_UNINTER = 11,     // dep x; upool base    -> evens, odds, 64 bits
 };
 
 static inline bool tape_put(u64* values, uint8_t* has, int32_t slot, u64 v,
@@ -300,6 +302,32 @@ long tape_run(u64* values, uint8_t* has,
             if ((long)idx >= nd - 1) { *err_slot = -1; return -2; }
             if (!tape_put(values, has, o[bits], values[d[1 + idx]], err_slot))
                 return -2;
+            break;
+        }
+        case OP_INTERLEAVE: {
+            u64 x = values[d[0]];
+            u64 il = 0;
+            for (int j = 0; j < 32; ++j) {
+                u64 b = (x >> j) & 1;
+                il |= b << (2 * j);
+                if (!tape_put(values, has, o[1 + j], b, err_slot)) return -2;
+            }
+            if (!tape_put(values, has, o[0], il, err_slot)) return -2;
+            break;
+        }
+        case OP_UNINTER: {
+            u64 x = values[d[0]], B = upool[uoff[i]];
+            for (int j = 0; j < 64; ++j)
+                if (!tape_put(values, has, o[2 + j], (x >> j) & 1, err_slot))
+                    return -2;
+            u64 ev = 0, od = 0, pw = 1;
+            for (int j = 0; j < 32; ++j) {
+                ev += ((x >> (2 * j)) & 1) * pw;
+                od += ((x >> (2 * j + 1)) & 1) * pw;
+                pw *= B;
+            }
+            if (!tape_put(values, has, o[0], ev, err_slot) ||
+                !tape_put(values, has, o[1], od, err_slot)) return -2;
             break;
         }
         default:

@@ -49,10 +49,29 @@ def _supported(n: int, rate_bits: int) -> bool:
     return n >= 2 * LANES and (1 << rate_bits) <= 64
 
 
+_RUNTIME_OK = None       # set by a one-time probe launch
+
+
+def _probe() -> bool:
+    global _RUNTIME_OK
+    if _RUNTIME_OK is None:
+        try:
+            vals = jnp.arange(2 * LANES, dtype=jnp.uint64)[None, :]
+            coeffs, lde = _build(8, 1, COSET_SHIFT, False)(vals)
+            from .ntt import lde_from_values
+            cw, lw = lde_from_values(vals, 1)
+            _RUNTIME_OK = (np.array_equal(np.asarray(coeffs), np.asarray(cw))
+                           and np.array_equal(np.asarray(lde), np.asarray(lw)))
+        except Exception:
+            _RUNTIME_OK = False
+    return _RUNTIME_OK
+
+
 def use_pallas() -> bool:
     if os.environ.get("PLONKY2_TPU_NO_PALLAS"):
         return False
-    return jax.default_backend() == "tpu"
+    from ..hashes.pallas_poseidon import _on_tpu_device
+    return _on_tpu_device() and _probe()
 
 
 def _roll(p, shift, interpret):

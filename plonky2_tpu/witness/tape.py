@@ -27,7 +27,8 @@ import numpy as np
 from ..field import gl
 
 (OP_PY, OP_U32MULADD, OP_U32ADDMANY, OP_U32SUB, OP_CMP, OP_ARITH,
- OP_CONSTS, OP_POSEIDON, OP_BASESUM, OP_RANDACC) = range(10)
+ OP_CONSTS, OP_POSEIDON, OP_BASESUM, OP_RANDACC, OP_INTERLEAVE,
+ OP_UNINTER) = range(12)
 
 _OPCODE_OF = {
     "u32muladd": OP_U32MULADD,
@@ -38,6 +39,8 @@ _OPCODE_OF = {
     "consts": OP_CONSTS,
     "basesum": OP_BASESUM,
     "randacc": OP_RANDACC,
+    "interleave": OP_INTERLEAVE,
+    "uninterleave": OP_UNINTER,
 }
 
 
@@ -162,7 +165,7 @@ def build_tape(pd, input_reps=frozenset()) -> Tape:
         opspec = getattr(g, "op", None)
         if opspec is not None and opspec[0] in _OPCODE_OF:
             code[k] = _OPCODE_OF[opspec[0]]
-            if opspec[0] in ("arith", "consts", "basesum"):
+            if opspec[0] in ("arith", "consts", "basesum", "uninterleave"):
                 uoff[k] = len(upool)
                 upool.extend(int(v) % gl.P for v in opspec[1:])
         elif isinstance(g, PoseidonGenerator):

@@ -53,7 +53,8 @@ def test_tape_u32_mix():
     for _ in range(6):
         lo, hi = b.mul_u32(acc, y)
         s, _c = b.add_u32(lo, hi)
-        d, _bo = b.sub_u32(s, y, b.zero_u32())
+        x2 = b.xor_u32(s, y)          # interleave/uninterleave opcodes
+        d, _bo = b.sub_u32(x2, y, b.zero_u32())
         _lt = b.is_less_than_u32(d, y)
         acc = d
     b.register_public_input(acc.target)
