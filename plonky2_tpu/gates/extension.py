@@ -112,7 +112,8 @@ class ArithmeticExtensionGate(Gate):
                 [Wire(row, ws["m0"]), Wire(row, ws["m0"] + 1),
                  Wire(row, ws["m1"]), Wire(row, ws["m1"] + 1),
                  Wire(row, ws["addend"]), Wire(row, ws["addend"] + 1)], fn,
-                outs=[Wire(row, ws["out"]), Wire(row, ws["out"] + 1)]))
+                outs=[Wire(row, ws["out"]), Wire(row, ws["out"] + 1)],
+                op=("arith_ext", c0, c1)))
         return gens
 
 
@@ -182,7 +183,8 @@ class MulExtensionGate(Gate):
             gens.append(LambdaGenerator(
                 [Wire(row, ws["m0"]), Wire(row, ws["m0"] + 1),
                  Wire(row, ws["m1"]), Wire(row, ws["m1"] + 1)], fn,
-                outs=[Wire(row, ws["out"]), Wire(row, ws["out"] + 1)]))
+                outs=[Wire(row, ws["out"]), Wire(row, ws["out"] + 1)],
+                op=("mul_ext", c0)))
         return gens
 
 
@@ -273,7 +275,7 @@ class ReducingGate(Gate):
         outs = [Wire(row, self.wire_accs + j)
                 for j in range(D * (self.num_coeffs - 1))]
         outs += [Wire(row, self.WIRE_OUTPUT), Wire(row, self.WIRE_OUTPUT + 1)]
-        return [LambdaGenerator(deps, fn, outs=outs)]
+        return [LambdaGenerator(deps, fn, outs=outs, op=("reduce",))]
 
 
 class ReducingExtensionGate(Gate):
@@ -359,4 +361,4 @@ class ReducingExtensionGate(Gate):
         outs = [Wire(row, self.wire_accs + j)
                 for j in range(D * (self.num_coeffs - 1))]
         outs += [Wire(row, self.WIRE_OUTPUT), Wire(row, self.WIRE_OUTPUT + 1)]
-        return [LambdaGenerator(deps, fn, outs=outs)]
+        return [LambdaGenerator(deps, fn, outs=outs, op=("reduce_ext",))]

@@ -155,7 +155,19 @@ enum TapeOp {
     OP_RANDACC = 9,      // deps idx, items...   -> idx bits, items[idx]
     OP_INTERLEAVE = 10,  // dep x (u32)          -> x_interleaved, 32 bits
     OP_UNINTER = 11,     // dep x; upool base    -> evens, odds, 64 bits
+    OP_ARITH_EXT = 12,   // deps m0,m1,ad (2 ea); upool c0,c1 -> out (2)
+    OP_MUL_EXT = 13,     // deps m0,m1 (2 ea); upool c0       -> out (2)
+    OP_REDUCE = 14,      // deps alpha,acc (2 ea), base coeffs -> accs, out
+    OP_REDUCE_EXT = 15,  // deps alpha,acc (2 ea), ext coeffs  -> accs, out
 };
+
+static const u64 EXT_W = 7;   // GF(p^2) = F_p[X]/(X^2 - 7) (field/ext.py)
+
+static inline void ext_mul2(u64 a0, u64 a1, u64 b0, u64 b1,
+                            u64* r0, u64* r1) {
+    *r0 = gl_add(gl_mul(a0, b0), gl_mul(EXT_W, gl_mul(a1, b1)));
+    *r1 = gl_add(gl_mul(a0, b1), gl_mul(a1, b0));
+}
 
 static inline bool tape_put(u64* values, uint8_t* has, int32_t slot, u64 v,
                             long* err_slot) {
@@ -302,6 +314,54 @@ long tape_run(u64* values, uint8_t* has,
             if ((long)idx >= nd - 1) { *err_slot = -1; return -2; }
             if (!tape_put(values, has, o[bits], values[d[1 + idx]], err_slot))
                 return -2;
+            break;
+        }
+        case OP_ARITH_EXT: {
+            const u64* c = upool + uoff[i];
+            u64 p0, p1;
+            ext_mul2(values[d[0]], values[d[1]], values[d[2]], values[d[3]],
+                     &p0, &p1);
+            u64 r0 = gl_add(gl_mul(c[0], p0), gl_mul(c[1], values[d[4]]));
+            u64 r1 = gl_add(gl_mul(c[0], p1), gl_mul(c[1], values[d[5]]));
+            if (!tape_put(values, has, o[0], r0, err_slot) ||
+                !tape_put(values, has, o[1], r1, err_slot)) return -2;
+            break;
+        }
+        case OP_MUL_EXT: {
+            const u64* c = upool + uoff[i];
+            u64 p0, p1;
+            ext_mul2(values[d[0]], values[d[1]], values[d[2]], values[d[3]],
+                     &p0, &p1);
+            if (!tape_put(values, has, o[0], gl_mul(c[0], p0), err_slot) ||
+                !tape_put(values, has, o[1], gl_mul(c[0], p1), err_slot))
+                return -2;
+            break;
+        }
+        case OP_REDUCE:
+        case OP_REDUCE_EXT: {
+            bool ext = code[i] == OP_REDUCE_EXT;
+            u64 al0 = values[d[0]], al1 = values[d[1]];
+            u64 a0 = values[d[2]], a1 = values[d[3]];
+            int steps = ext ? (nd - 4) / 2 : nd - 4;
+            int oi = 0;
+            for (int j = 0; j < steps; ++j) {
+                u64 t0, t1;
+                ext_mul2(a0, a1, al0, al1, &t0, &t1);
+                if (ext) {
+                    a0 = gl_add(t0, values[d[4 + 2 * j]] % P);
+                    a1 = gl_add(t1, values[d[5 + 2 * j]] % P);
+                } else {
+                    a0 = gl_add(t0, values[d[4 + j]] % P);
+                    a1 = t1;
+                }
+                if (j < steps - 1) {
+                    if (!tape_put(values, has, o[oi++], a0, err_slot) ||
+                        !tape_put(values, has, o[oi++], a1, err_slot))
+                        return -2;
+                }
+            }
+            if (!tape_put(values, has, o[oi++], a0, err_slot) ||
+                !tape_put(values, has, o[oi], a1, err_slot)) return -2;
             break;
         }
         case OP_INTERLEAVE: {

@@ -119,12 +119,12 @@ def lde_from_values(values, rate_bits: int, shift: int = COSET_SHIFT):
 lde_from_values_jit = jax.jit(lde_from_values,
                               static_argnames=("rate_bits", "shift"))
 
-# Largest n the fused Pallas LDE kernel keeps resident in VMEM (per-poly
-# footprint ~ 8*n*(1 + 3*2^rate) bytes); above this the stage-wise XLA
-# path runs.  Overridable for tuning on real hardware.
+# Largest n the fused Pallas LDE kernel keeps resident in VMEM.  Measured
+# on v5e (16 MB scoped VMEM): n = 2^13 at rate 3 compiles and runs 1.3x
+# the XLA path; n = 2^14 OOMs the VMEM stack (24.6 MB request).
 import os as _os
 PALLAS_LDE_MAX = int(_os.environ.get("PLONKY2_TPU_PALLAS_LDE_MAX",
-                                     str(1 << 14)))
+                                     str(1 << 13)))
 
 
 def lde_from_values_auto(values, rate_bits: int, shift: int = COSET_SHIFT):

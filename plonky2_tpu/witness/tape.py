@@ -28,7 +28,7 @@ from ..field import gl
 
 (OP_PY, OP_U32MULADD, OP_U32ADDMANY, OP_U32SUB, OP_CMP, OP_ARITH,
  OP_CONSTS, OP_POSEIDON, OP_BASESUM, OP_RANDACC, OP_INTERLEAVE,
- OP_UNINTER) = range(12)
+ OP_UNINTER, OP_ARITH_EXT, OP_MUL_EXT, OP_REDUCE, OP_REDUCE_EXT) = range(16)
 
 _OPCODE_OF = {
     "u32muladd": OP_U32MULADD,
@@ -41,6 +41,10 @@ _OPCODE_OF = {
     "randacc": OP_RANDACC,
     "interleave": OP_INTERLEAVE,
     "uninterleave": OP_UNINTER,
+    "arith_ext": OP_ARITH_EXT,
+    "mul_ext": OP_MUL_EXT,
+    "reduce": OP_REDUCE,
+    "reduce_ext": OP_REDUCE_EXT,
 }
 
 
@@ -165,7 +169,8 @@ def build_tape(pd, input_reps=frozenset()) -> Tape:
         opspec = getattr(g, "op", None)
         if opspec is not None and opspec[0] in _OPCODE_OF:
             code[k] = _OPCODE_OF[opspec[0]]
-            if opspec[0] in ("arith", "consts", "basesum", "uninterleave"):
+            if opspec[0] in ("arith", "consts", "basesum", "uninterleave",
+                             "arith_ext", "mul_ext"):
                 uoff[k] = len(upool)
                 upool.extend(int(v) % gl.P for v in opspec[1:])
         elif isinstance(g, PoseidonGenerator):

@@ -100,6 +100,25 @@ def test_tape_nonnative_hints():
     _check(b.build(), inputs)
 
 
+def test_tape_extension_ops():
+    b = CircuitBuilder(CircuitConfig.test_config())
+    a = b.add_virtual_extension_target()
+    c = b.add_virtual_extension_target()
+    alpha = b.add_virtual_extension_target()
+    prod = b.mul_extension(a, c)                     # mul_ext opcode
+    mixed = b.arithmetic_extension(3, 5, a, c, prod)  # arith_ext opcode
+    base_terms = [b.add_virtual_target() for _ in range(5)]
+    folded = b.reduce_with_powers_ext(alpha, base_terms)      # reduce
+    folded2 = b.reduce_with_powers_ext_circuit(alpha, [a, c, mixed])
+    for t in (*prod, *mixed, *folded, *folded2):
+        b.register_public_input(t)
+    inputs = {a[0]: 11, a[1]: 22, c[0]: 33, c[1]: 44,
+              alpha[0]: 5, alpha[1]: 6}
+    for i, t in enumerate(base_terms):
+        inputs[t] = 100 + i
+    _check(b.build(), inputs)
+
+
 def test_tape_conflict_detection():
     if native.lib() is None:
         pytest.skip("native library unavailable")
