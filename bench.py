@@ -160,6 +160,9 @@ def main():
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr, flush=True)
+    from plonky2_tpu.hashes.pallas_poseidon import ensure_probed, use_pallas
+    ensure_probed()
+    print(f"# pallas: {use_pallas()}", file=sys.stderr, flush=True)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_cpu.json")
@@ -193,7 +196,11 @@ def main():
 
     from plonky2_tpu.bench import (build_ecdsa, build_poseidon_chain,
                                    build_smt_process, build_u32_mix)
-    which = os.environ.get("PLONKY2_TPU_BENCH_CONFIGS", "1,2,3,4,5").split(",")
+    # Order: config 1 first (fast liveness), then the flagship ECDSA
+    # (BASELINE.md's north star) BEFORE the mid-size configs — if the
+    # driver timeout cuts the run, the most important numbers are already
+    # streamed (every finished config re-prints the headline JSON).
+    which = os.environ.get("PLONKY2_TPU_BENCH_CONFIGS", "1,4,2,3,5").split(",")
     configs = {
         "1": (build_poseidon_chain, {"degree_bits": 12}),
         "2": (build_u32_mix, {"degree_bits": 13}),

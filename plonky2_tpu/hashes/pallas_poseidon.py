@@ -54,20 +54,46 @@ def _on_tpu_device() -> bool:
 def _probe() -> bool:
     """One-time eager launch of a tiny kernel: Mosaic lowering on the
     tunneled backend is unproven territory, and a failure inside an outer
-    jit would be unrecoverable — probe once, fall back globally."""
+    jit would be unrecoverable — probe once, fall back globally.
+
+    Never probes while a trace is active (launching an eager pallas_call
+    mid-trace is exactly the failure mode this guards against): callers
+    inside jit see False until someone probes from host context —
+    prove()/compile() do so eagerly via ensure_probed()."""
     global _RUNTIME_OK
     if _RUNTIME_OK is None:
+        try:
+            from jax._src import core as _core
+            if not _core.trace_state_clean():
+                return False            # mid-trace: decide later
+        except Exception:
+            pass
         try:
             s = jnp.zeros((P.WIDTH, LANES_PROBE), dtype=jnp.uint64)
             out = permute_cols_pallas(s, interpret=False)
             want = P.permute_s([0] * P.WIDTH)
             _RUNTIME_OK = [int(x) for x in np.asarray(out)[:, 0]] == list(want)
-        except Exception:
+            if not _RUNTIME_OK:
+                import sys
+                print("# pallas poseidon probe: wrong values; disabled",
+                      file=sys.stderr, flush=True)
+        except Exception as e:
+            import sys
+            print(f"# pallas poseidon probe failed ({type(e).__name__}); "
+                  f"disabled", file=sys.stderr, flush=True)
             _RUNTIME_OK = False
     return _RUNTIME_OK
 
 
 LANES_PROBE = 128
+
+
+def ensure_probed() -> None:
+    """Run the probes from host context (prove/compile entry points call
+    this before any tracing happens)."""
+    use_pallas()
+    from ..ntt import pallas_lde
+    pallas_lde.use_pallas()
 
 
 def use_pallas() -> bool:

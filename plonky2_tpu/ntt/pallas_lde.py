@@ -56,6 +56,12 @@ def _probe() -> bool:
     global _RUNTIME_OK
     if _RUNTIME_OK is None:
         try:
+            from jax._src import core as _core
+            if not _core.trace_state_clean():
+                return False            # mid-trace: decide later
+        except Exception:
+            pass
+        try:
             vals = jnp.arange(2 * LANES, dtype=jnp.uint64)[None, :]
             coeffs, lde = _build(8, 1, COSET_SHIFT, False)(vals)
             from .ntt import lde_from_values

@@ -118,7 +118,9 @@ def _selector_groups(gates, max_degree_factor: int) -> SelectorInfo:
 
 
 def compile_circuit(builder) -> CircuitData:
+    from ..hashes.pallas_poseidon import ensure_probed
     from ..utils import timed_span
+    ensure_probed()          # host context: settle pallas dispatch now
     with timed_span(f"build ({len(builder.gate_instances)} gate rows)"):
         return _compile_impl(builder)
 

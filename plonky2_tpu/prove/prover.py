@@ -495,7 +495,9 @@ class _NullPlacer:
 
 
 def prove(pd, inputs: dict, mesh=None) -> Proof:
+    from ..hashes.pallas_poseidon import ensure_probed
     from ..utils import timed_span
+    ensure_probed()          # host context: settle pallas dispatch now
     with timed_span(f"prove (2^{pd.common.degree_bits} rows)"):
         return _prove_impl(pd, inputs, mesh)
 
