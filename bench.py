@@ -81,6 +81,23 @@ def _bench_ntt():
           f"fused-kernel floor {io_bytes/HBM*1e3:.2f} ms)",
           file=sys.stderr, flush=True)
 
+    # secondary: the fused Pallas LDE at its VMEM-sized shape (the commit
+    # path small/mid circuits actually take; stage-wise XLA above the cap)
+    from plonky2_tpu.ntt.pallas_lde import use_pallas as _lde_pallas
+    if _lde_pallas():
+        w13 = jnp.asarray(rng.randint(0, 1 << 62, size=(135, 1 << 13),
+                                      dtype=np.uint64))
+        out13 = lde_from_values_auto(w13, rate)[1]
+        out13.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out13 = lde_from_values_auto(w13, rate)[1]
+        out13.block_until_ready()
+        dt13 = (time.perf_counter() - t0) / 10
+        e13 = 135 * ((1 << 13) + (1 << 16))
+        print(f"# lde_step 2^13 (fused pallas): {dt13*1e3:.1f} ms -> "
+              f"{e13/dt13/1e9:.3f} G NTT-elems/s", file=sys.stderr, flush=True)
+
     # secondary: Poseidon permutation throughput, lanes-first layout
     # (the prover's Merkle/transcript hot path — see poseidon.permute_cols)
     from plonky2_tpu.hashes import poseidon
