@@ -13,12 +13,13 @@ Implements the batched-opening FRI used by plonky2-class provers
 * query phase: host-side Merkle openings of the initial oracles and every
   commit-phase layer.
 
-Layout convention (conscious divergence from plonky2, which stores LDE
-values bit-reversed so folding cosets are contiguous): we keep *natural*
-domain order — index i holds shift * w^i — and the folding coset of row j at
-arity a is the strided set {j + k*(N/a)}.  Equivalent protocol, different
-index bookkeeping; revisit if bit-exact transcript parity with the Rust
-fork is ever wired up (see hashes/poseidon.py docstring).
+Layout convention (matches plonky2): every LDE array is stored in
+BIT-REVERSED domain order — index r holds the value at shift * w^rev(r) —
+so an arity-2^a folding coset is the contiguous aligned block
+[j*2^a, (j+1)*2^a): block j of layer L folds to index j of layer L+1,
+which is again bit-reversed for the squared domain.  Query index bookkeeping: coset index = r >> a (plonky2's
+`x_index >> arity_bits`), position within coset = r & (2^a - 1), and the
+natural-domain exponent of a stored index is rev(r).
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from ..field import ext, gl
 from ..hashes import poseidon
 from ..merkle import MerkleTree, verify_merkle_proof_s
 from ..ntt import host_powers, intt
+from ..ntt.ntt import _bitrev_perm, intt_from_rev
 from ..transcript import Challenger
 
 
@@ -95,20 +97,30 @@ def _intt_ext(values):
     return jnp.moveaxis(intt(comp), 0, -1)
 
 
+def _intt_ext_from_rev(values_rev):
+    """Like _intt_ext but the evaluations on axis -2 are bit-reversed."""
+    comp = jnp.moveaxis(values_rev, -1, 0)
+    return jnp.moveaxis(intt_from_rev(comp), 0, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("shift", "arity_bits"))
 def _fold(values, beta_arr, shift: int, arity_bits: int):
-    """One FRI fold by arity a = 2^arity_bits: [N, 2] ext values (natural
-    order, coset shift*<w_N>) -> [N/a, 2] values on shift^a * <w_{N/a}>.
+    """One FRI fold by arity a = 2^arity_bits: [N, 2] ext values in
+    BIT-REVERSED order on shift*<w_N> -> [N/a, 2] bit-reversed values on
+    shift^a * <w_{N/a}>.
 
-    Per-coset q_j = iNTT_a of the strided coset values, then Horner at
-    beta/x_j — both batched over all N/a cosets."""
+    Folding coset j is the contiguous block values[j*a:(j+1)*a], holding
+    the natural coset {x_j * w_a^k} in rev_a(k) order; iNTT_a of each block
+    (bit-reversed input), then Horner at beta/x_j with
+    x_j = shift * w_N^rev(j) — all batched over N/a cosets."""
     N = values.shape[0]
     a = 1 << arity_bits
-    rows = values.reshape(a, N // a, 2).transpose(1, 0, 2)      # [N/a, a, 2]
-    coeffs = _intt_ext(rows)                                    # q_j coeffs on <w_a>
-    # t_j = beta * x_j^{-1}; x_j = shift * w_N^j
+    rows = values.reshape(N // a, a, 2)                         # [N/a, a, 2]
+    coeffs = _intt_ext_from_rev(rows)           # q_j coeffs on <w_a>
+    # t_j = beta * x_j^{-1}; x_j = shift * w_N^{rev(j)}
     w_inv = gl.inv_s(gl.primitive_root_of_unity(N.bit_length() - 1))
-    xinv = host_powers(w_inv, N // a) * np.uint64(1)            # w^-j
+    rev_rows = _bitrev_perm((N // a).bit_length() - 1)
+    xinv = host_powers(w_inv, N // a)[rev_rows]                 # w^-rev(j)
     xinv = gl.mul(jnp.asarray(xinv), gl.U64(gl.inv_s(shift)))   # [N/a]
     beta_b = jnp.broadcast_to(beta_arr, (N // a, 2))
     t = ext.mul_base(beta_b, xinv)                              # [N/a, 2]
@@ -171,9 +183,10 @@ def grind(challenger: Challenger, pow_bits: int, batch: int | None = None,
 def fri_prove(values, degree_bits: int, config: FriConfig,
               challenger: Challenger, shift: int,
               initial_trees: list[MerkleTree], hasher=poseidon) -> FriProof:
-    """values: [N, 2] ext composite over the LDE coset (natural order),
-    N = 2^(degree_bits + rate_bits).  initial_trees: the already-committed
-    oracles whose openings each query round must include."""
+    """values: [N, 2] ext composite over the LDE coset in BIT-REVERSED
+    order, N = 2^(degree_bits + rate_bits).  initial_trees: the
+    already-committed (bit-reversed-leaf) oracles whose openings each query
+    round must include."""
     N = values.shape[0]
     assert N == 1 << (degree_bits + config.rate_bits)
 
@@ -188,9 +201,9 @@ def fri_prove(values, degree_bits: int, config: FriConfig,
         for ab in arities:
             a = 1 << ab
             Nc = cur.shape[0]
-            # leaf j = the arity coset {j + k*rows}, flattened (c0, c1) pairs;
-            # column layout [2a, rows] feeds build_cols without a transpose
-            leaves_cols = cur.reshape(a, Nc // a, 2).transpose(0, 2, 1).reshape(2 * a, Nc // a)
+            # leaf j = the contiguous arity block, flattened (c0, c1) pairs;
+            # column layout [2a, rows] feeds build_cols
+            leaves_cols = cur.reshape(Nc // a, a, 2).transpose(1, 2, 0).reshape(2 * a, Nc // a)
             tree = MerkleTree.build_cols(leaves_cols, min(config.cap_height, (Nc // a).bit_length() - 1), hasher)
             layer_trees.append(tree)
             challenger.observe_cap(tree.cap_host())
@@ -202,7 +215,7 @@ def fri_prove(values, degree_bits: int, config: FriConfig,
     # Final polynomial (coefficients in the clear).
     with timed_span("FRI final poly"):
         Nf = cur.shape[0]
-        q_coeffs = _intt_ext(cur)                               # coeffs of f(shift*y)
+        q_coeffs = _intt_ext_from_rev(cur)                      # coeffs of f(shift*y)
         sinv_pows = jnp.asarray(host_powers(gl.inv_s(cur_shift), Nf))
         f_coeffs = ext.mul_base(q_coeffs, sinv_pows)
         final_len = 1 << (degree_bits - sum(arities))
@@ -231,7 +244,7 @@ def fri_prove(values, degree_bits: int, config: FriConfig,
         cur_idx, cur_N = idx_arr, N
         for ab, tree in zip(arities, layer_trees):
             rows = cur_N >> ab
-            j = cur_idx % rows
+            j = cur_idx >> ab            # contiguous blocks: high bits
             layer_data.append(tree.open_many(j))
             cur_idx, cur_N = j, rows
 
@@ -286,9 +299,10 @@ def fri_verify(proof: FriProof, degree_bits: int, config: FriConfig,
     """Raises AssertionError on any failed check.
 
     combine_fn(index, initial_leaf_values: list[list[int]]) -> ext tuple:
-    recomputes the composite value at domain index `index` from the opened
-    initial-oracle leaves (the plonk layer supplies the batched-opening
-    formula; the standalone test supplies identity)."""
+    recomputes the composite value at BIT-REVERSED domain index `index`
+    (the point is shift * w^rev(index)) from the opened initial-oracle
+    leaves (the plonk layer supplies the batched-opening formula; the
+    standalone test supplies identity)."""
     N = 1 << (degree_bits + config.rate_bits)
     arities = config.reduction_arity_bits(degree_bits)
     assert len(proof.commit_caps) == len(arities)
@@ -321,24 +335,29 @@ def fri_verify(proof: FriProof, degree_bits: int, config: FriConfig,
         for (ab, beta, step, cap) in zip(arities, betas, qr.steps, proof.commit_caps):
             a = 1 << ab
             rows = cur_N // a
-            j = cur_i % rows
-            k = cur_i // rows
-            assert step.evals[k] == tuple(old_eval), "fold consistency"
+            j = cur_i >> ab              # contiguous block: high bits
+            pos = cur_i & (a - 1)        # slot within block (rev_a order)
+            assert step.evals[pos] == tuple(old_eval), "fold consistency"
             leaf = [x for e in step.evals for x in e]
             assert verify_merkle_proof_s(leaf, j, cap, step.siblings,
                                          hasher), "layer Merkle proof"
-            # coset points: x_j * w_a^k, x_j = shift * w_N^j
+            # block slot m holds the value at x_j * w_a^{rev_a(m)},
+            # x_j = shift * w_N^{rev_rows(j)}
             w_N = gl.primitive_root_of_unity(cur_N.bit_length() - 1)
-            x_j = gl.mul_s(cur_shift, pow(w_N, j, gl.P))
+            rev_rows = _bitrev_perm(rows.bit_length() - 1)
+            rev_a = _bitrev_perm(ab)
+            x_j = gl.mul_s(cur_shift, pow(w_N, int(rev_rows[j]), gl.P))
             w_a = gl.primitive_root_of_unity(ab)
-            pts = [gl.mul_s(x_j, pow(w_a, k2, gl.P)) for k2 in range(a)]
+            pts = [gl.mul_s(x_j, pow(w_a, int(rev_a[m]), gl.P))
+                   for m in range(a)]
             vals = [tuple(e) for e in step.evals]
             old_eval = _interpolate_coset_s(pts, vals, beta)
             cur_N, cur_i, cur_shift = rows, j, pow(cur_shift, a, gl.P)
 
         # Final polynomial check at the surviving point.
         w_f = gl.primitive_root_of_unity(cur_N.bit_length() - 1)
-        x = gl.mul_s(cur_shift, pow(w_f, cur_i, gl.P))
+        rev_f = _bitrev_perm(cur_N.bit_length() - 1)
+        x = gl.mul_s(cur_shift, pow(w_f, int(rev_f[cur_i]), gl.P))
         acc = ext.ZERO
         for c in reversed(proof.final_poly):
             acc = ext.add_s(ext.mul_s(acc, ext.from_base_s(x)), c)

@@ -153,6 +153,42 @@ def sqr_biguint(self, a: BigUintTarget) -> BigUintTarget:
     return self.mul_biguint(a, a)
 
 
+def shift_limbs_biguint(self, a: BigUintTarget, k: int) -> BigUintTarget:
+    """a * 2^(32k): limb-shift, no gates."""
+    return BigUintTarget([self.zero_u32()] * k + list(a.limbs))
+
+
+def mul_biguint_by_const(self, a: BigUintTarget, c: int) -> BigUintTarget:
+    """a * c for a host constant c, skipping zero limbs and turning
+    one-limbs into pure shifts (used by the sparse-modulus overflow
+    check in nonnative.py; the reference always pays the full schoolbook
+    `mul_biguint(ovf, p)`, /root/reference/src/ecdsa/gadgets/
+    nonnative.rs:313-342)."""
+    if c == 0:
+        return self.zero_biguint()
+    limbs_c = big_from_int(c, (c.bit_length() + 31) // 32)
+    acc = None
+    for i, cl in enumerate(limbs_c):
+        if cl == 0:
+            continue
+        if cl == 1:
+            part = BigUintTarget(list(a.limbs))
+        else:
+            part = self.mul_biguint_u32(a, self.constant_u32(cl))
+        part = self.shift_limbs_biguint(part, i)
+        acc = part if acc is None else self.add_biguint(acc, part)
+    return acc
+
+
+def assert_biguint_nonzero(self, a: BigUintTarget) -> None:
+    """Constrain a != 0: the Goldilocks sum of the (canonical u32) limbs
+    is zero iff every limb is zero; assert it has an inverse."""
+    s = self.add_many([t.target for t in a.limbs])
+    w = self.add_virtual_target()
+    self.add_simple_generator(NamedGenerator("inv_or_zero", {}, [s], [w]))
+    self.assert_one(self.mul(s, w))
+
+
 def div_rem_biguint(self, a: BigUintTarget, b: BigUintTarget):
     """(div, rem) via hint; re-verified with `a == div*b + rem`, `rem < b`."""
     n_div = a.num_limbs

@@ -88,11 +88,13 @@ def curve_conditional_neg(self, p: AffinePointTarget, cond) -> AffinePointTarget
 
 
 def curve_double(self, p: AffinePointTarget) -> AffinePointTarget:
-    # lambda = 3x^2 / 2y ; x3 = l^2 - 2x ; y3 = l(x - x3) - y
+    # lambda = 3x^2 / 2y ; x3 = l^2 - 2x ; y3 = l(x - x3) - y.
+    # The quotient is hinted and re-verified (div_hint_nonnative), one
+    # mul cheaper than the reference's inv-then-mul (curve.rs:137-159).
     x2 = self.mul_nonnative(p.x, p.x)
     three_x2 = self.add_many_nonnative([x2, x2, x2])
     two_y = self.add_nonnative(p.y, p.y)
-    lam = self.mul_nonnative(three_x2, self.inv_nonnative(two_y))
+    lam = self.div_hint_nonnative(three_x2, two_y)
     lam2 = self.mul_nonnative(lam, lam)
     x3 = self.sub_nonnative(self.sub_nonnative(lam2, p.x), p.x)
     y3 = self.sub_nonnative(self.mul_nonnative(lam, self.sub_nonnative(p.x, x3)),
@@ -104,7 +106,8 @@ def curve_add(self, p1: AffinePointTarget, p2: AffinePointTarget) -> AffinePoint
     """Incomplete: assumes p1 != +-p2 and neither is infinity."""
     dy = self.sub_nonnative(p2.y, p1.y)
     dx = self.sub_nonnative(p2.x, p1.x)
-    lam = self.mul_nonnative(dy, self.inv_nonnative(dx))
+    # hinted quotient (verifies lam*dx == dy and dx != 0; see curve_double)
+    lam = self.div_hint_nonnative(dy, dx)
     lam2 = self.mul_nonnative(lam, lam)
     x3 = self.sub_nonnative(self.sub_nonnative(lam2, p1.x), p2.x)
     y3 = self.sub_nonnative(self.mul_nonnative(lam, self.sub_nonnative(p1.x, x3)),
@@ -216,12 +219,39 @@ def fixed_base_curve_mul(self, base: secp.Point,
 # dual-scalar MSM + GLV (curve_msm.rs, glv.rs)
 # ------------------------------------------------------------------
 
+def split_nonnative_to_2_bit_limbs_bounded(self, a: NonNativeTarget,
+                                           num_bits: int) -> list:
+    """2-bit windows of the low `num_bits` bits; simultaneously
+    range-constrains a < 2^num_bits (the partial BaseSum row bounds the
+    boundary limb, higher limbs are asserted zero)."""
+    windows = (num_bits + 1) // 2
+    out = []
+    for t in a.value.limbs:
+        remaining = windows - len(out)
+        if remaining <= 0:
+            self.assert_zero(t.target)
+            continue
+        out.extend(self.split_le_base(4, t.target, min(16, remaining)))
+    return out
+
+
 def curve_msm(self, p: AffinePointTarget, q: AffinePointTarget,
-              n: NonNativeTarget, m: NonNativeTarget) -> AffinePointTarget:
+              n: NonNativeTarget, m: NonNativeTarget,
+              num_bits: int | None = None) -> AffinePointTarget:
     """n*p + m*q with 2-bit windows and a shared doubling chain
-    (curve_msm.rs:21-79).  Doesn't work if p == q (same caveat)."""
-    limbs_n = self.split_nonnative_to_2_bit_limbs(n)   # 128, LSB first
-    limbs_m = self.split_nonnative_to_2_bit_limbs(m)
+    (curve_msm.rs:21-79).  Doesn't work if p == q (same caveat).
+
+    `num_bits` bounds the scalars: the split range-checks n, m < 2^num_bits
+    and the doubling chain only covers that many bits.  The reference
+    always walks all 256 bits even for GLV half-scalars (curve_msm.rs
+    splits the full NonNativeTarget) — passing 130 here halves the chain,
+    which is the entire point of the GLV split."""
+    if num_bits is None:
+        limbs_n = self.split_nonnative_to_2_bit_limbs(n)   # 128, LSB first
+        limbs_m = self.split_nonnative_to_2_bit_limbs(m)
+    else:
+        limbs_n = self.split_nonnative_to_2_bit_limbs_bounded(n, num_bits)
+        limbs_m = self.split_nonnative_to_2_bit_limbs_bounded(m, num_bits)
     assert len(limbs_n) == len(limbs_m)
     # table[i + 4j] = i*p + j*q + BLIND
     table = []
@@ -281,7 +311,10 @@ def glv_mul(self, p: AffinePointTarget, k: NonNativeTarget) -> AffinePointTarget
     p1 = self.curve_conditional_neg(p, k1_neg)
     endo = AffinePointTarget(self.mul_nonnative(beta, p.x), p.y)
     p2 = self.curve_conditional_neg(endo, k2_neg)
-    return self.curve_msm(p1, p2, k1, k2)
+    # GLV magnitudes are < 2^129 (Alg 15.41 bound; native max observed
+    # 129 bits) — the bounded msm range-checks them and walks 65 windows
+    # instead of the reference's 128 (curve_msm.rs splits all 256 bits).
+    return self.curve_msm(p1, p2, k1, k2, num_bits=130)
 
 
 _EXCLUDE = {"AffinePointTarget", "NonNativeTarget", "CircuitBuilder",

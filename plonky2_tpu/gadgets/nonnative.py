@@ -36,8 +36,33 @@ def _mod_limbs(modulus: int) -> int:
     return (modulus.bit_length() + 31) // 32
 
 
+def _sparse_d(p: int):
+    """For p = 2^(32k) - d with a narrow d (secp256k1: d = 2^32 + 977;
+    its scalar field: d 129 bits), the overflow product `ovf * p` in every
+    hint-and-verify identity can be replaced by shifts and a small constant
+    multiply:  X == Y + ovf*p  <=>  X + ovf*d == Y + ovf*2^(32k), where the
+    right side is a free limb-concatenation.  Returns (k, d) with d=None
+    when the modulus is not sparse enough to profit (then callers use the
+    reference's full `mul_biguint(ovf, p)` formulation,
+    /root/reference/src/ecdsa/gadgets/nonnative.rs:313-342)."""
+    k = _mod_limbs(p)
+    d = (1 << (32 * k)) - p
+    return (k, d) if d.bit_length() <= 32 * (k - 2) else (k, None)
+
+
 def _limb_targets(b: BigUintTarget):
     return [t.target for t in b.limbs]
+
+
+def _bool_times_const(b, ovf, d: int) -> BigUintTarget:
+    """ovf * d for a bool target ovf: each limb is select(ovf, d_i, 0),
+    one base arithmetic op per nonzero limb of d."""
+    from .biguint import big_from_int
+    limbs = []
+    for dl in big_from_int(d, _mod_limbs(d)):
+        limbs.append(b.zero_u32() if dl == 0
+                     else U32Target(b.mul_const(dl, ovf)))
+    return BigUintTarget(limbs)
 
 
 # ------------------------------------------------------------------
@@ -95,10 +120,18 @@ def add_nonnative(self, a: NonNativeTarget, b: NonNativeTarget) -> NonNativeTarg
         _limb_targets(a.value) + _limb_targets(b.value),
         _limb_targets(out.value) + [ovf]))
     self.assert_bool(ovf)
-    lhs = self.add_biguint(a.value, b.value)
-    p_c = self.constant_biguint(p)
-    ovf_p = self.mul_biguint_u32(p_c, U32Target(ovf))
-    rhs = self.add_biguint(out.value, ovf_p)
+    k, d = _sparse_d(p)
+    if d is not None:
+        # a + b + ovf*d == out + ovf*2^(32k); bool ovf makes ovf*d a plain
+        # per-limb arithmetic multiply and the right side a concatenation.
+        lhs = self.add_biguint(self.add_biguint(a.value, b.value),
+                               _bool_times_const(self, ovf, d))
+        rhs = BigUintTarget(list(out.value.limbs) + [U32Target(ovf)])
+    else:
+        lhs = self.add_biguint(a.value, b.value)
+        p_c = self.constant_biguint(p)
+        ovf_p = self.mul_biguint_u32(p_c, U32Target(ovf))
+        rhs = self.add_biguint(out.value, ovf_p)
     self.connect_biguint(lhs, rhs)
     self.assert_nonnative_lt_modulus(out)
     return out
@@ -117,8 +150,15 @@ def add_many_nonnative(self, xs: list) -> NonNativeTarget:
     lhs = xs[0].value
     for x in xs[1:]:
         lhs = self.add_biguint(lhs, x.value)
-    p_c = self.constant_biguint(p)
-    rhs = self.add_biguint(out.value, self.mul_biguint_u32(p_c, ovf))
+    k, d = _sparse_d(p)
+    if d is not None:
+        # sum(xs) + ovf*d == out + ovf*2^(32k), u32 overflow.
+        lhs = self.add_biguint(
+            lhs, self.mul_biguint_by_const(BigUintTarget([ovf]), d))
+        rhs = BigUintTarget(list(out.value.limbs) + [ovf])
+    else:
+        p_c = self.constant_biguint(p)
+        rhs = self.add_biguint(out.value, self.mul_biguint_u32(p_c, ovf))
     self.connect_biguint(lhs, rhs)
     self.assert_nonnative_lt_modulus(out)
     return out
@@ -135,9 +175,17 @@ def sub_nonnative(self, a: NonNativeTarget, b: NonNativeTarget) -> NonNativeTarg
         _limb_targets(a.value) + _limb_targets(b.value),
         _limb_targets(out.value) + [ovf]))
     self.assert_bool(ovf)
-    p_c = self.constant_biguint(p)
-    lhs = self.add_biguint(a.value, self.mul_biguint_u32(p_c, U32Target(ovf)))
-    rhs = self.add_biguint(b.value, out.value)
+    k, d = _sparse_d(p)
+    if d is not None:
+        # a + ovf*2^(32k) == b + diff + ovf*d: left side is free.
+        lhs = BigUintTarget(list(a.value.limbs) + [U32Target(ovf)])
+        rhs = self.add_biguint(self.add_biguint(b.value, out.value),
+                               _bool_times_const(self, ovf, d))
+    else:
+        p_c = self.constant_biguint(p)
+        lhs = self.add_biguint(a.value,
+                               self.mul_biguint_u32(p_c, U32Target(ovf)))
+        rhs = self.add_biguint(b.value, out.value)
     self.connect_biguint(lhs, rhs)
     self.assert_nonnative_lt_modulus(out)
     return out
@@ -160,8 +208,16 @@ def mul_nonnative(self, a: NonNativeTarget, b: NonNativeTarget) -> NonNativeTarg
         _limb_targets(a.value) + _limb_targets(b.value),
         _limb_targets(out.value) + _limb_targets(ovf)))
     lhs = self.mul_biguint(a.value, b.value)
-    p_c = self.constant_biguint(p)
-    rhs = self.add_biguint(self.mul_biguint(ovf, p_c), out.value)
+    k, d = _sparse_d(p)
+    if d is not None:
+        # a*b + ovf*d == out + ovf*2^(32k): the dominant `ovf * p`
+        # schoolbook of the reference collapses to a narrow constant
+        # multiply plus a limb concatenation.
+        lhs = self.add_biguint(lhs, self.mul_biguint_by_const(ovf, d))
+        rhs = BigUintTarget(list(out.value.limbs) + list(ovf.limbs))
+    else:
+        p_c = self.constant_biguint(p)
+        rhs = self.add_biguint(self.mul_biguint(ovf, p_c), out.value)
     self.connect_biguint(lhs, rhs)
     self.assert_nonnative_lt_modulus(out)
     return out
@@ -185,15 +241,44 @@ def inv_nonnative(self, x: NonNativeTarget) -> NonNativeTarget:
         _limb_targets(x.value),
         _limb_targets(inv.value) + _limb_targets(div)))
     prod = self.mul_biguint(x.value, inv.value)
-    p_c = self.constant_biguint(p)
-    rhs = self.add_biguint(self.mul_biguint(div, p_c), self.constant_biguint(1))
-    self.connect_biguint(prod, rhs)
+    k, d = _sparse_d(p)
+    if d is not None:
+        # x*inv + div*d == 1 + div*2^(32k)
+        lhs = self.add_biguint(prod, self.mul_biguint_by_const(div, d))
+        rhs = BigUintTarget([self.constant_u32(1)]
+                            + [self.zero_u32()] * (k - 1) + list(div.limbs))
+        self.connect_biguint(lhs, rhs)
+    else:
+        p_c = self.constant_biguint(p)
+        rhs = self.add_biguint(self.mul_biguint(div, p_c),
+                               self.constant_biguint(1))
+        self.connect_biguint(prod, rhs)
     self.assert_nonnative_lt_modulus(inv)
     return inv
 
 
 def div_nonnative(self, a: NonNativeTarget, b: NonNativeTarget) -> NonNativeTarget:
     return self.mul_nonnative(a, self.inv_nonnative(b))
+
+
+def div_hint_nonnative(self, a: NonNativeTarget,
+                       b: NonNativeTarget) -> NonNativeTarget:
+    """a / b mod p via a single hinted quotient: hint q = a*b^-1, verify
+    q*b == a (one mul_nonnative) and b != 0.  One multiplication cheaper
+    than the reference's inv-then-mul (nonnative.rs:366-390 + a mul);
+    carries the same b != 0 soundness (the reference's `x*inv == 1 + div*p`
+    identity is unsatisfiable at x == 0; here the explicit nonzero check
+    plays that role, since `q*0 == 0 == a` would otherwise admit any q)."""
+    p = a.modulus
+    out = self.add_virtual_nonnative_target(p)
+    self.add_simple_generator(NamedGenerator(
+        "nn_div", {"p": p, "nl": a.num_limbs, "n_out": out.num_limbs},
+        _limb_targets(a.value) + _limb_targets(b.value),
+        _limb_targets(out.value)))
+    self.assert_biguint_nonzero(b.value)
+    prod = self.mul_nonnative(out, b)
+    self.connect_nonnative(prod, a)
+    return out
 
 
 # ---------------- conditionals ----------------

@@ -14,8 +14,9 @@ Mirrors plonky2's MerkleTree/MerkleCap semantics consumed by the reference
 `cap_height`, the "root" is the vector of 2^cap_height digests, and a proof
 walks from a leaf up to the cap entry `index >> (depth - cap_height)`.
 
-Layout note: leaves are in *natural* domain order (a conscious divergence
-from plonky2's bit-reversed storage — see fri.py module docstring).
+Layout note: LDE oracles commit their leaves in bit-reversed domain
+order, matching plonky2's storage (see fri/fri.py module docstring); the
+tree itself is order-agnostic.
 """
 
 from __future__ import annotations

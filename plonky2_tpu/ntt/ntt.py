@@ -96,6 +96,55 @@ def intt(evals):
     return gl.mul(coeffs, jnp.broadcast_to(n_inv, coeffs.shape))
 
 
+def ntt_to_rev(coeffs, inverse: bool = False):
+    """Natural-order coefficients -> BIT-REVERSED evaluations, via
+    decimation-in-frequency stages (no permutation pass at all — the
+    input gather of `ntt` disappears).  plonky2 stores every LDE in this
+    order; adopting it makes FRI folding cosets contiguous blocks."""
+    n = coeffs.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n, f"NTT size must be a power of 2, got {n}"
+    if n == 1:
+        return coeffs
+    batch = coeffs.shape[:-1]
+    x = coeffs
+    tw = _stage_twiddles(log_n, inverse)
+    # DIF: half-sizes n/2 .. 1; butterfly (e, o) -> (e + o, (e - o) * w^t)
+    for s in range(log_n, 0, -1):
+        m = 1 << (s - 1)
+        blocks = n >> s
+        x = x.reshape(*batch, blocks, 2, m)
+        e = x[..., 0, :]
+        o = x[..., 1, :]
+        x = jnp.stack([gl.add(e, o), gl.mul(gl.sub(e, o), tw[s - 1])],
+                      axis=-2)
+        x = x.reshape(*batch, n)
+    return x
+
+
+def intt_from_rev(evals_rev):
+    """BIT-REVERSED evaluations -> natural-order coefficients: the DIT
+    stage chain of `ntt` without its input gather, scaled by 1/n."""
+    n = evals_rev.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if n == 1:
+        return evals_rev
+    batch = evals_rev.shape[:-1]
+    x = evals_rev
+    tw = _stage_twiddles(log_n, inverse=True)
+    for s in range(1, log_n + 1):
+        m = 1 << (s - 1)
+        blocks = n >> s
+        x = x.reshape(*batch, blocks, 2, m)
+        even = x[..., 0, :]
+        odd = gl.mul(x[..., 1, :], tw[s - 1])
+        x = jnp.stack([gl.add(even, odd), gl.sub(even, odd)], axis=-2)
+        x = x.reshape(*batch, n)
+    n_inv = gl.U64(gl.inv_s(n))
+    return gl.mul(x, jnp.broadcast_to(n_inv, x.shape))
+
+
 def coset_lde(coeffs, rate_bits: int, shift: int = COSET_SHIFT):
     """Evaluate deg<n polys on the coset shift*<w_N>, N = n << rate_bits.
 
@@ -111,6 +160,26 @@ def lde_from_values(values, rate_bits: int, shift: int = COSET_SHIFT):
     """Values over H (natural order) -> (coeffs, LDE values over the coset)."""
     coeffs = intt(values)
     return coeffs, coset_lde(coeffs, rate_bits, shift)
+
+
+def coset_lde_rev(coeffs, rate_bits: int, shift: int = COSET_SHIFT):
+    """Like `coset_lde` but the [..., N] output is in BIT-REVERSED domain
+    order (plonky2's storage layout): position r holds poly(shift * w^rev(r))."""
+    n = coeffs.shape[-1]
+    scaled = gl.mul(coeffs, gl.powers(shift, n))
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (n << rate_bits) - n)]
+    return ntt_to_rev(jnp.pad(scaled, pad))
+
+
+def lde_from_values_rev(values, rate_bits: int, shift: int = COSET_SHIFT):
+    """Values over H (natural order) -> (coeffs natural order, LDE in
+    bit-reversed order).  The prover's commit-path entry."""
+    coeffs = intt(values)
+    return coeffs, coset_lde_rev(coeffs, rate_bits, shift)
+
+
+lde_from_values_rev_jit = jax.jit(lde_from_values_rev,
+                                  static_argnames=("rate_bits", "shift"))
 
 
 # Jitted entry point: the eager per-op dispatch of `ntt` costs more than the
@@ -139,6 +208,29 @@ def lde_from_values_auto(values, rate_bits: int, shift: int = COSET_SHIFT):
             and shift == COSET_SHIFT):
         return lde_from_values_pallas(values, rate_bits, shift)
     return lde_from_values_jit(values, rate_bits, shift)
+
+
+# Tiled four-step kernel range: n above the fused-kernel VMEM cap up to
+# this bound stream through VMEM-sized tiles (pallas_lde_tiled.py).
+PALLAS_LDE_TILED_MAX = int(_os.environ.get("PLONKY2_TPU_PALLAS_TILED_MAX",
+                                           str(1 << 20)))
+
+
+def lde_from_values_rev_auto(values, rate_bits: int, shift: int = COSET_SHIFT):
+    """Values over H -> (coeffs natural, LDE bit-reversed): the commit-path
+    dispatcher.  Fused Pallas kernel for VMEM-sized n, tiled four-step
+    Pallas kernel for n up to PALLAS_LDE_TILED_MAX, stage-wise XLA
+    otherwise (and for mesh-sharded proves)."""
+    from .pallas_lde import _supported, use_pallas
+    n = values.shape[-1]
+    if use_pallas() and shift == COSET_SHIFT:
+        if _supported(n, rate_bits) and n <= PALLAS_LDE_MAX:
+            from .pallas_lde import lde_from_values_pallas_rev
+            return lde_from_values_pallas_rev(values, rate_bits, shift)
+        if PALLAS_LDE_MAX < n <= PALLAS_LDE_TILED_MAX and n >= (1 << 14):
+            from .pallas_lde_tiled import lde_from_values_tiled_rev
+            return lde_from_values_tiled_rev(values, rate_bits, shift)
+    return lde_from_values_rev_jit(values, rate_bits, shift)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

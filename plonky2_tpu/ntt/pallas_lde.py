@@ -155,7 +155,8 @@ def _split_np(tab: np.ndarray):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(log_n: int, rate_bits: int, shift: int, interpret: bool):
+def _build(log_n: int, rate_bits: int, shift: int, interpret: bool,
+           rev_order: bool = False):
     n = 1 << log_n
     big_n = n << rate_bits
     reps = 1 << rate_bits
@@ -258,6 +259,7 @@ def _build(log_n: int, rate_bits: int, shift: int, interpret: bool):
                  poly_spec(rows_out), poly_spec(rows_out))
 
     rev_dev = jnp.asarray(rev)
+    rev_reps_dev = jnp.asarray(_bitrev_perm(rate_bits))
 
     @jax.jit
     def run(values):
@@ -282,9 +284,17 @@ def _build(log_n: int, rate_bits: int, shift: int, interpret: bool):
         )(vh, vl, *tables_dev)
         coeffs_rev = gl32.join((ch.reshape(b, n), cl.reshape(b, n)))
         coeffs = jnp.take(coeffs_rev, rev_dev, axis=-1)
-        # kernel emits coset-major [reps, n]; natural index t = k + reps*i
+        # kernel emits coset-major [reps, n] (natural order per coset);
+        # natural big-domain index t = k + reps*i
         lde_cm = gl32.join((oh.reshape(b, reps, n), ol.reshape(b, reps, n)))
-        lde = lde_cm.transpose(0, 2, 1).reshape(b, big_n)
+        if rev_order:
+            # bit-reversed big-domain order: rev_N(k + reps*i)
+            # = rev_reps(k)*n + rev_n(i) -> reorder cosets by rev_reps and
+            # each coset's interior by rev_n, then a flat reshape.
+            lde = jnp.take(jnp.take(lde_cm, rev_reps_dev, axis=1),
+                           rev_dev, axis=2).reshape(b, big_n)
+        else:
+            lde = lde_cm.transpose(0, 2, 1).reshape(b, big_n)
         return coeffs.reshape(*batch, n), lde.reshape(*batch, big_n)
 
     return run
@@ -301,3 +311,18 @@ def lde_from_values_pallas(values, rate_bits: int, shift: int = COSET_SHIFT,
     if interpret is None:
         interpret = not use_pallas()
     return _build(log_n, rate_bits, shift, interpret)(values)
+
+
+def lde_from_values_pallas_rev(values, rate_bits: int,
+                               shift: int = COSET_SHIFT,
+                               interpret: bool | None = None):
+    """Values over H -> (coeffs natural order, LDE in BIT-REVERSED order —
+    the commit-path layout, see fri/fri.py).  Same kernel; the coset-major
+    result is assembled by two cheap reorders instead of the interleave."""
+    n = values.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    assert _supported(n, rate_bits), (n, rate_bits)
+    if interpret is None:
+        interpret = not use_pallas()
+    return _build(log_n, rate_bits, shift, interpret, rev_order=True)(values)

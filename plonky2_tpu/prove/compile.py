@@ -199,9 +199,9 @@ def _compile_impl(builder) -> CircuitData:
     cs_vals = jnp.concatenate([jnp.asarray(sel_vals),
                                jnp.asarray(const_vals),
                                sigma_vals], axis=0)
-    from ..ntt import lde_from_values_auto
+    from ..ntt import lde_from_values_rev_auto
     with timed_span("constants/sigmas LDE + Merkle commit"):
-        cs_coeffs, cs_lde = lde_from_values_auto(cs_vals, fri_cfg.rate_bits)
+        cs_coeffs, cs_lde = lde_from_values_rev_auto(cs_vals, fri_cfg.rate_bits)
         cs_tree = MerkleTree.build_cols(cs_lde, fri_cfg.cap_height,
                                         config.transcript_module())
         cs_tree.cap_host()

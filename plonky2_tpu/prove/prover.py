@@ -27,7 +27,8 @@ from ..field import ext, gl
 from ..fri import fri_prove
 from ..hashes import poseidon
 from ..merkle import MerkleTree
-from ..ntt import COSET_SHIFT, coset_lde, eval_polys_at_ext, host_powers, intt
+from ..ntt import COSET_SHIFT, eval_polys_at_ext, host_powers, intt
+from ..ntt.ntt import _bitrev_perm, coset_lde_rev, intt_from_rev
 from ..transcript import Challenger
 from ..witness import generate_witness
 from .proof import OpeningSet, Proof
@@ -35,8 +36,10 @@ from .proof import OpeningSet, Proof
 
 @functools.partial(jax.jit, static_argnames=("rate_bits",))
 def _lde_commit(values, rate_bits: int):
+    """(coeffs natural, LDE bit-reversed) — the mesh-path commit transform
+    (poly-sharded: both transforms are along the unsharded last axis)."""
     coeffs = intt(values)
-    return coeffs, coset_lde(coeffs, rate_bits)
+    return coeffs, coset_lde_rev(coeffs, rate_bits)
 
 
 def _prefix_product(r):
@@ -307,16 +310,24 @@ def _make_kernels(common):
 
         return jnp.stack([gl.mul(a, zh_inv_c) for a in chal_accs], axis=0)
 
+    # zs(g*x) in bit-reversed order: natural order is a roll by 2^rate;
+    # conjugating by the bit-reversal permutation gives a fixed gather.
+    rev_N = _bitrev_perm(common.degree_bits + rate)
+    nxt = np.empty(N, dtype=np.int64)
+    nxt[rev_N] = rev_N[(np.arange(N) + (1 << rate)) % N]
+    nxt_dev = jnp.asarray(nxt)
+
     @jax.jit
     def zs_next_roll(zs_pp_lde):
-        return jnp.roll(zs_pp_lde, -(1 << rate), axis=-1)
+        return jnp.take(zs_pp_lde, nxt_dev, axis=-1)
 
     @jax.jit
     def quotient_finish(tq, sinv_pows):
-        # tq [nc, N] -> (q_polys [nc<<rate, n], q_lde [nc<<rate, N])
-        q_coeffs = gl.mul(intt(tq), sinv_pows)
+        # tq [nc, N] bit-reversed -> (q_polys [nc<<rate, n] natural coeffs,
+        # q_lde [nc<<rate, N] bit-reversed)
+        q_coeffs = gl.mul(intt_from_rev(tq), sinv_pows)
         q_polys = q_coeffs.reshape(nc << rate, n)
-        return q_polys, coset_lde(q_polys, rate)
+        return q_polys, coset_lde_rev(q_polys, rate)
 
     # Chunk the 8n domain so per-call live tensors stay ~flat (≈2^18 rows)
     # while small circuits still run in one call.  Mesh-sharded proves run
@@ -547,19 +558,26 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     pi_hash = cfg.hasher_module().hash_no_pad_s(pi_values)
 
     # ---- 2. commit wires ----
-    with timed_span("wire LDE + Merkle commit"):
+    _wb = 8 * cfg.num_wires * (2 * n + N)        # read values, write c+LDE
+    _mb = 8 * cfg.num_wires * N                  # Merkle leaf read
+    with timed_span("wire LDE + Merkle commit", nbytes=_wb + _mb):
         # poly-sharded transform, then one all-to-all into the
         # domain-sharded layout every later phase uses
-        if mesh is None:
-            from ..ntt import lde_from_values_auto
-            wires_coeffs, wires_lde = lde_from_values_auto(
-                jnp.asarray(wires_host), rate)
-        else:
-            wires_coeffs, wires_lde = _lde_commit(pl.polys(wires_host), rate)
-        wires_coeffs = pl.unpad(wires_coeffs, cfg.num_wires)
-        wires_lde = pl.rows(pl.unpad(wires_lde, cfg.num_wires))
-        wires_tree = MerkleTree.build_cols(wires_lde, fri_cfg.cap_height, th)
-        wires_tree.cap_host()
+        with timed_span("wire LDE (iNTT + coset NTT)", nbytes=_wb):
+            if mesh is None:
+                from ..ntt import lde_from_values_rev_auto
+                wires_coeffs, wires_lde = lde_from_values_rev_auto(
+                    jnp.asarray(wires_host), rate)
+            else:
+                wires_coeffs, wires_lde = _lde_commit(pl.polys(wires_host),
+                                                      rate)
+            wires_coeffs = pl.unpad(wires_coeffs, cfg.num_wires)
+            wires_lde = pl.rows(pl.unpad(wires_lde, cfg.num_wires))
+            wires_lde.block_until_ready()
+        with timed_span("wire Merkle tree (leaf hash + levels)", nbytes=_mb):
+            wires_tree = MerkleTree.build_cols(wires_lde, fri_cfg.cap_height,
+                                               th)
+            wires_tree.cap_host()
 
     ch = Challenger(th)
     ch.observe_cap(pd.cs_tree.cap_host())
@@ -578,7 +596,9 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     g_pows = jnp.asarray(host_powers(
         gl.primitive_root_of_unity(common.degree_bits), n))
     k_arr = gl.to_u64(common.k_is)
-    with timed_span("permutation Z polys + commit"):
+    _zn = nc + nc * (common.num_partial_products)
+    with timed_span("permutation Z polys + commit",
+                    nbytes=8 * (3 * nr * n + _zn * (2 * n + 2 * N))):
         routed_rows = pl.rows(wires_host[:nr])
         zs_pp_vals = kernels["z_phase"](
             routed_rows, pl.rows(pd.sigma_polys), k_arr,
@@ -591,8 +611,8 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
             zs_pp_vals = jnp.concatenate([zs_pp_vals, lk_vals], axis=0)
         n_zspp = zs_pp_vals.shape[0]
         if mesh is None:
-            from ..ntt import lde_from_values_auto
-            zs_pp_coeffs, zs_pp_lde = lde_from_values_auto(zs_pp_vals, rate)
+            from ..ntt import lde_from_values_rev_auto
+            zs_pp_coeffs, zs_pp_lde = lde_from_values_rev_auto(zs_pp_vals, rate)
         else:
             zs_pp_coeffs, zs_pp_lde = _lde_commit(pl.polys(zs_pp_vals), rate)
         zs_pp_coeffs = pl.unpad(zs_pp_coeffs, n_zspp)
@@ -609,19 +629,25 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     const_lde = cs_lde[sel_count:sel_count + common.num_constants_polys]
     sigma_lde = cs_lde[sel_count + common.num_constants_polys:]
 
+    # Every domain table is in bit-reversed order (index r <-> point
+    # shift * w^rev(r)) to match the LDE storage layout (fri/fri.py).
+    rev_N_perm = _bitrev_perm(common.degree_bits + rate)
     x_lde = pl.rows(gl.mul(jnp.asarray(host_powers(
-        gl.primitive_root_of_unity(common.degree_bits + rate), N)),
+        gl.primitive_root_of_unity(common.degree_bits + rate), N)[rev_N_perm]),
         gl.U64(COSET_SHIFT)))
     shift_n = pow(COSET_SHIFT, n, gl.P)
     w8 = gl.primitive_root_of_unity(rate)
     zh_vals = [(shift_n * pow(w8, j, gl.P) - 1) % gl.P for j in range(1 << rate)]
-    zh = jnp.tile(gl.to_u64(zh_vals), N >> rate)
+    zh_nat = np.tile(np.asarray(zh_vals, dtype=np.uint64), N >> rate)
+    zh = jnp.asarray(zh_nat[rev_N_perm])
     zh_inv = pl.rows(gl.inv(zh))
     l1 = gl.mul(jnp.asarray(zh), gl.inv(gl.mul(gl.sub(x_lde, jnp.ones_like(x_lde)),
                                                jnp.full_like(x_lde, gl.U64(n)))))
     sinv_pows = jnp.asarray(host_powers(gl.inv_s(COSET_SHIFT), N))
 
-    with timed_span("quotient evaluation + commit"):
+    _qr = (cs_lde.shape[0] + cfg.num_wires + zs_pp_lde.shape[0]) * N
+    with timed_span("quotient evaluation + commit",
+                    nbytes=8 * (_qr + (nc << rate) * (3 * N))):
         q_polys, q_lde = kernels["quotient_phase"](
             wires_lde, sel_lde, const_lde, sigma_lde, zs_pp_lde, x_lde, zh_inv,
             l1, k_arr, gl.to_u64(betas), gl.to_u64(gammas), gl.to_u64(alphas),
@@ -666,7 +692,8 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
     for v in reversed(zs_next_open):
         o1 = ext.add_s(ext.mul_s(o1, fri_alpha), v)
     alpha_b0 = ext.pow_s(fri_alpha, B0)
-    with timed_span("FRI (composite + commit phases + queries)"):
+    with timed_span("FRI (composite + commit phases + queries)",
+                    nbytes=8 * (_qr + (nc << rate) * N + 2 * 2 * N)):
         composite = kernels["composite"](
             cs_lde, wires_lde, zs_pp_lde, q_lde, _ext_arr(fri_alpha),
             _ext_arr(zeta), _ext_arr(zeta_next), _ext_arr(o0), _ext_arr(o1),

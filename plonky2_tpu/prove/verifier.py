@@ -197,7 +197,10 @@ def verify(vd, proof: Proof) -> None:
         zs_leaf = leaves[2][:n_zspp]
         q_leaf = leaves[3][:n_q]
         assert len(cs_leaf) == cs_count
-        x = gl.mul_s(COSET_SHIFT, pow(w_N, idx, gl.P))
+        # idx is a bit-reversed domain index (fri/fri.py layout)
+        from ..ntt.ntt import _bitrev_perm
+        rev_N = _bitrev_perm(common.degree_bits + fri_cfg.rate_bits)
+        x = gl.mul_s(COSET_SHIFT, pow(w_N, int(rev_N[idx]), gl.P))
         flat = list(cs_leaf) + list(wires_leaf) + list(zs_leaf) + list(q_leaf)
         r0 = ext.ZERO
         for v in reversed(flat):

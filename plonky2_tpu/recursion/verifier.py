@@ -417,10 +417,12 @@ def verify_proof_circuit(b, vd, pt: ProofTarget) -> None:
             verify_merkle_proof_to_cap_circuit(
                 b, opening.leaf_values, idx_bits, cap_t, opening.siblings)
 
-        # batched-opening combine at x = shift * w_N^idx
+        # batched-opening combine at x = shift * w_N^rev(idx): stored
+        # indices are bit-reversed (fri/fri.py layout), so the exponent
+        # reads the little-endian index bits in reversed order.
         w_N = gl.primitive_root_of_unity(N_bits)
-        x = b.mul_const(COSET_SHIFT, b.exp_from_bits(b.constant(w_N),
-                                                     idx_bits))
+        x = b.mul_const(COSET_SHIFT, b.exp_from_bits(
+            b.constant(w_N), list(reversed(idx_bits))))
         x_e = _ext_from_base(b, x)
         flat = (qr.initial[0].leaf_values[:cs_count]
                 + qr.initial[1].leaf_values[:nw]
@@ -439,29 +441,37 @@ def verify_proof_circuit(b, vd, pt: ProofTarget) -> None:
         bits = idx_bits
         cur_shift = COSET_SHIFT
         cur_N_bits = N_bits
+        from ..ntt.ntt import _bitrev_perm
         for ab, beta_t, step, cap_t in zip(arities, fri_betas, qr.steps,
                                            pt.fri.commit_caps):
             rows_bits = cur_N_bits - ab
-            j_bits, k_bits = bits[:rows_bits], bits[rows_bits:]
-            k_idx = b.le_sum(k_bits)
-            sel0 = b.random_access(k_idx, [e[0] for e in step.evals])
-            sel1 = b.random_access(k_idx, [e[1] for e in step.evals])
+            # contiguous blocks: coset index j = high bits, slot = low bits
+            pos_bits, j_bits = bits[:ab], bits[ab:]
+            pos_idx = b.le_sum(pos_bits)
+            sel0 = b.random_access(pos_idx, [e[0] for e in step.evals])
+            sel1 = b.random_access(pos_idx, [e[1] for e in step.evals])
             b.connect(sel0, old_eval[0])
             b.connect(sel1, old_eval[1])
             leaf = [x_ for e in step.evals for x_ in e]
             verify_merkle_proof_to_cap_circuit(b, leaf, j_bits, cap_t,
                                                step.siblings)
+            # x_j = shift * w^rev(j); block slot m holds the value at
+            # x_j * w_a^rev_a(m) -> reorder the (static) eval targets so the
+            # interpolation gate sees natural coset order
             w_cur = gl.primitive_root_of_unity(cur_N_bits)
-            x_j = b.mul_const(cur_shift,
-                              b.exp_from_bits(b.constant(w_cur), j_bits))
-            old_eval = b.interpolate_coset(ab, x_j, list(step.evals), beta_t)
+            x_j = b.mul_const(cur_shift, b.exp_from_bits(
+                b.constant(w_cur), list(reversed(j_bits))))
+            rev_a = _bitrev_perm(ab)
+            evals_nat = [step.evals[int(rev_a[k2])] for k2 in range(1 << ab)]
+            old_eval = b.interpolate_coset(ab, x_j, evals_nat, beta_t)
             bits = j_bits
             cur_N_bits = rows_bits
             cur_shift = pow(cur_shift, 1 << ab, gl.P)
 
         # final polynomial check at the surviving point
         w_f = gl.primitive_root_of_unity(cur_N_bits)
-        x_f = b.mul_const(cur_shift, b.exp_from_bits(b.constant(w_f), bits))
+        x_f = b.mul_const(cur_shift, b.exp_from_bits(
+            b.constant(w_f), list(reversed(bits))))
         fin = _reduce_by_alpha(b, _ext_from_base(b, x_f),
                                list(pt.fri.final_poly))
         b.connect_extension(fin, old_eval)

@@ -177,8 +177,8 @@ def deserialize_prover_data(data: bytes) -> CircuitData:
     cs_vals = jnp.concatenate([jnp.asarray(sel_vals),
                                jnp.asarray(const_vals),
                                jnp.asarray(sigma_vals)], axis=0)
-    from ..ntt import lde_from_values_auto
-    cs_coeffs, cs_lde = lde_from_values_auto(cs_vals, config.fri.rate_bits)
+    from ..ntt import lde_from_values_rev_auto
+    cs_coeffs, cs_lde = lde_from_values_rev_auto(cs_vals, config.fri.rate_bits)
     cs_tree = MerkleTree.build_cols(cs_lde, config.fri.cap_height)
 
     common = CommonData(

@@ -26,19 +26,25 @@ _STACK: list["_Span"] = []
 
 
 class _Span:
-    __slots__ = ("name", "start", "elapsed", "children")
+    __slots__ = ("name", "start", "elapsed", "children", "bytes")
 
-    def __init__(self, name: str):
+    def __init__(self, name: str, nbytes: int | None = None):
         self.name = name
         self.start = time.perf_counter()
         self.elapsed = 0.0
         self.children: list[_Span] = []
+        self.bytes = nbytes
+
+    def _bw(self):
+        if self.bytes and self.elapsed:
+            return f" [{self.bytes / 1e9:.2f} GB, "                    f"{self.bytes / self.elapsed / 1e9:.0f} GB/s]"
+        return ""
 
     def lines(self, depth=0, total=None):
         total = total if total is not None else self.elapsed
         pct = 100.0 * self.elapsed / total if total else 0.0
         out = [f"{'  ' * depth}{self.elapsed * 1e3:9.2f}ms {pct:5.1f}% "
-               f"{self.name}"]
+               f"{self.name}{self._bw()}"]
         for c in self.children:
             out.extend(c.lines(depth + 1, total))
         return out
@@ -68,14 +74,16 @@ def profiling_disable():
 
 
 @contextlib.contextmanager
-def timed_span(name: str, block_on=None):
+def timed_span(name: str, block_on=None, nbytes: int | None = None):
     """Nested phase span.  `block_on`: device array (or pytree) to
     block_until_ready before closing, so async device work lands in this
-    span."""
+    span.  `nbytes`: estimated HBM bytes moved by the phase — the span
+    prints achieved GB/s next to its wall time (per-phase roofline
+    visibility, round-4 verdict item 4)."""
     if not _ENABLED:
         yield
         return
-    span = _Span(name)
+    span = _Span(name, nbytes)
     parent = _STACK[-1] if _STACK else None
     _STACK.append(span)
     try:
@@ -90,8 +98,8 @@ def timed_span(name: str, block_on=None):
             parent.children.append(span)
             # stream as each phase lands (long proves would otherwise be
             # silent until the root closes)
-            logger.debug("%s.. %s: %.2fs", "  " * (len(_STACK) - 1),
-                         span.name, span.elapsed)
+            logger.debug("%s.. %s: %.2fs%s", "  " * (len(_STACK) - 1),
+                         span.name, span.elapsed, span._bw())
         else:
             for line in span.lines():
                 logger.debug(line)

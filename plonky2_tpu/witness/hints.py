@@ -117,6 +117,15 @@ def _nn_inv(p, vals):
     return _limbs_of(iv, p["n_inv"]) + _limbs_of(d, p["n_div"])
 
 
+@hint_fn("nn_div")
+def _nn_div(p, vals):
+    m = p["p"]
+    av = _int_of(vals[:p["nl"]]) % m
+    bv = _int_of(vals[p["nl"]:]) % m
+    q = av * pow(bv, m - 2, m) % m if bv else 0
+    return _limbs_of(q, p["n_out"])
+
+
 @hint_fn("glv_decompose")
 def _glv_decompose(p, vals):
     from ..field import secp

