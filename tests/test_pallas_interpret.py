@@ -62,3 +62,27 @@ def test_pallas_lde_interpret_roundtrip_identity():
     # check a coset point: x0 = shift * w_N^0 = shift
     from plonky2_tpu.ntt import COSET_SHIFT
     assert int(np.asarray(lde)[0, 0]) == (5 + 7 * COSET_SHIFT) % gl.P
+
+
+def test_pallas_lde_rev_interpret_bit_exact():
+    """Fused kernel, bit-reversed output mode (the commit-path layout)."""
+    from plonky2_tpu.ntt.ntt import lde_from_values_rev
+    from plonky2_tpu.ntt.pallas_lde import lde_from_values_pallas_rev
+    vals = rand_u64(3, 1 << 9)
+    cw, lw = lde_from_values_rev(vals, 3)
+    cg, lg = lde_from_values_pallas_rev(vals, 3, interpret=True)
+    assert np.array_equal(np.asarray(cw), np.asarray(cg))
+    assert np.array_equal(np.asarray(lw), np.asarray(lg))
+
+
+def test_pallas_lde_tiled_interpret_bit_exact():
+    """Tiled four-step kernel (n >= 2^14) against the stage-wise XLA rev
+    path — pins the column/row stage decomposition, the inter-stage
+    twiddles, and the per-coset scale outer product bit for bit."""
+    from plonky2_tpu.ntt.ntt import lde_from_values_rev
+    from plonky2_tpu.ntt.pallas_lde_tiled import lde_from_values_tiled_rev
+    vals = rand_u64(2, 1 << 14)
+    cw, lw = lde_from_values_rev(vals, 3)
+    cg, lg = lde_from_values_tiled_rev(vals, 3, interpret=True)
+    assert np.array_equal(np.asarray(cw), np.asarray(cg))
+    assert np.array_equal(np.asarray(lw), np.asarray(lg))
