@@ -7,7 +7,8 @@ for the BASELINE.md benchmark configs, run end to end on the real chip:
   1. Poseidon hash-chain circuit, degree 2^12
   2. u32 add/mul/cmp + range-check circuit, degree 2^13
   3. SMT process-proof chain (depth 32), degree 2^14
-  4. secp256k1 ECDSA-verify circuit (natural size)
+  4. secp256k1 ECDSA-verify circuit (packs to degree 2^16)
+  5. recursive aggregation of 4 zkDSA proofs
 
 Per-config lines stream to stderr as they finish (so partial progress is
 recorded even if a run is cut short); the final JSON line carries the
@@ -28,7 +29,8 @@ Env knobs:
   PLONKY2_TPU_BENCH_CONFIGS   comma list among {1,2,3,4,5}; default all
   PLONKY2_TPU_BENCH_SKIP_NTT  set to 1 to skip the microbenches
   PLONKY2_TPU_BENCH_BUDGET_S  wall budget; configs not started before it
-                              elapses are recorded as skipped (default 3000)
+                              elapses are recorded as skipped (default 1400)
+  PLONKY2_TPU_BENCH_NO_CIRCUIT_CACHE  set to skip benchmarks/cache/ blobs
 """
 
 import json
@@ -253,10 +255,10 @@ def main():
     from plonky2_tpu.bench import (build_ecdsa, build_poseidon_chain,
                                    build_smt_process, build_u32_mix)
     # Order (round-5): configs 2, 3, 5 first — they had never been
-    # recorded in any BENCH_r*.json — then 1 and 4 (recorded in r04).
-    # Every finished config re-prints the headline JSON, so a timeout cut
-    # loses only the un-run tail.
-    which = os.environ.get("PLONKY2_TPU_BENCH_CONFIGS", "2,3,5,1,4").split(",")
+    # recorded in any BENCH_r*.json — then the flagship 4 (its new 2^16
+    # number) and finally 1 (recorded in r04).  Every finished config
+    # re-prints the headline JSON, so a timeout cut loses only the tail.
+    which = os.environ.get("PLONKY2_TPU_BENCH_CONFIGS", "2,3,5,4,1").split(",")
     configs = {
         "1": (build_poseidon_chain, {"degree_bits": 12}),
         "2": (build_u32_mix, {"degree_bits": 13}),
