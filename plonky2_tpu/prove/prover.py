@@ -573,7 +573,9 @@ def _prove_impl(pd, inputs: dict, mesh=None) -> Proof:
                                                       rate)
             wires_coeffs = pl.unpad(wires_coeffs, cfg.num_wires)
             wires_lde = pl.rows(pl.unpad(wires_lde, cfg.num_wires))
-            wires_lde.block_until_ready()
+            # no block_until_ready here: forcing a sync serializes the LDE
+            # against the Merkle dispatch and costs ~100ms of tunnel
+            # latency per prove; sub-span attribution is approximate.
         with timed_span("wire Merkle tree (leaf hash + levels)", nbytes=_mb):
             wires_tree = MerkleTree.build_cols(wires_lde, fri_cfg.cap_height,
                                                th)
